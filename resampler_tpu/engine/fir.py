@@ -1,0 +1,499 @@
+"""Polyphase FIR resampler engine — TPU-native.
+
+Re-design of the reference streaming polyphase resampler
+(reference: src/resampler_fir.rs:168-643) around three TPU-first ideas:
+
+1. **Exact integer phase accumulator.**  The reference advances an f64
+   ``position`` by ``ratio = in_rate/out_rate`` once per output sample — a
+   sequential scalar loop.  Here the position is the exact rational
+   ``pos_num / M`` where ``L/M = in_rate/out_rate`` in lowest terms, carried
+   as an int32 numerator.  Output ``i`` of a chunk then has numerator
+   ``pos_num + i*L``, so the entire per-chunk schedule
+   ``(input_offset, phase1, phase2, frac)`` is an elementwise int32
+   computation over ``i = 0..out_cap`` — fully parallel on the VPU, and
+   *exact* (no f64 drift over arbitrarily long streams).
+
+2. **Gather + blended-row contraction.**  Per output sample the reference
+   gathers two phase rows from the 1024-phase coefficient table and runs a
+   dual-accumulator SIMD dot (reference: src/fir/avx.rs:14-61).  Here the
+   two rows are lerped into a single blended row ``W[i, taps]`` (identical
+   arithmetic: the lerp commutes with the dot product), and the output is
+   the contraction ``out[c, i] = sum_t buffer[c, off_i + t] * W[i, t]``,
+   which XLA maps onto the MXU/VPU.  A fused Pallas kernel for this
+   contraction lives in resampler_tpu/ops/fir_kernel.py.
+
+3. **Static shapes under jit.**  ``(consumed, produced)`` vary per call, so
+   outputs use a fixed capacity (``buffer_size_output``) plus a valid count,
+   with masked tails — no dynamic shapes, no recompiles.  Input chunks are
+   bucketed to a small set of padded sizes by the stateful wrapper.
+
+State is an explicit pytree, so streams checkpoint/restore and ``vmap``
+trivially (the batched multi-stream engine wraps this same core).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.window import WindowType, calculate_cutoff_kaiser, make_sincs_for_kaiser
+from ..types import (
+    Attenuation,
+    InvalidInputBufferSize,
+    InvalidOutputBufferSize,
+    Latency,
+    reduce_ratio,
+)
+
+__all__ = [
+    "PHASES",
+    "INPUT_CAPACITY",
+    "BUFFER_SIZE",
+    "FirConfig",
+    "FirState",
+    "fir_init",
+    "make_fir_step",
+    "fir_coefficients",
+    "ResamplerFir",
+]
+
+#: Polyphase branch count (reference: src/resampler_fir.rs:17).
+PHASES = 1024
+#: Maximum buffered input frames (reference: src/resampler_fir.rs:18).
+INPUT_CAPACITY = 4096
+#: Double-sized ring buffer for copy-free streaming
+#: (reference: src/resampler_fir.rs:19).
+BUFFER_SIZE = INPUT_CAPACITY * 2
+#: Largest padded input bucket accepted by one ``step`` call (frames).
+MAX_CHUNK = INPUT_CAPACITY
+#: Reduced output-rate denominator limit keeping every scheduled int32
+#: quantity below 2^31 (see overflow analysis in ``_schedule``).
+MAX_REDUCED_RATE = 500_000
+
+
+@dataclasses.dataclass(frozen=True)
+class FirConfig:
+    """Static (hashable) FIR engine configuration."""
+
+    channels: int
+    taps: int
+    ratio_num: int  # L: reduced input rate
+    ratio_den: int  # M: reduced output rate
+    phases: int = PHASES
+    input_capacity: int = INPUT_CAPACITY
+
+    def __post_init__(self) -> None:
+        if self.channels < 1:
+            raise ValueError("channel count must be at least 1")
+        if self.ratio_den > MAX_REDUCED_RATE or self.ratio_num > (1 << 31) // (
+            self.input_capacity + 2
+        ):
+            raise ValueError(
+                "reduced sample-rate ratio too large for exact int32 "
+                f"scheduling: {self.ratio_num}/{self.ratio_den}"
+            )
+
+    @property
+    def buffer_alloc(self) -> int:
+        # BUFFER_SIZE plus slack so a full MAX_CHUNK write at
+        # write_position == BUFFER_SIZE never clamps.
+        return BUFFER_SIZE + MAX_CHUNK
+
+    @property
+    def out_capacity(self) -> int:
+        """Maximum output frames a single call can produce
+        (reference: src/resampler_fir.rs:455-465)."""
+        max_usable = self.input_capacity - self.taps
+        return math.ceil(max_usable * self.ratio_den / self.ratio_num) + 2
+
+    @property
+    def delay(self) -> int:
+        """Algorithmic latency in input samples
+        (reference: src/resampler_fir.rs:623-632)."""
+        return self.taps // 2
+
+
+#: Streaming state pytree: ``buffer [C, buffer_alloc] f32``,
+#: ``read_position``, ``available_frames``, ``pos_num`` (int32 scalars).
+#: A plain dict, so stream state is trivially serializable
+#: (checkpoint/resume) and vmappable — a capability the reference only
+#: implies (SURVEY.md §5).
+FirState = dict
+
+
+def fir_init(config: FirConfig) -> FirState:
+    return FirState(
+        buffer=jnp.zeros((config.channels, config.buffer_alloc), jnp.float32),
+        read_position=jnp.zeros((), jnp.int32),
+        available_frames=jnp.zeros((), jnp.int32),
+        pos_num=jnp.zeros((), jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------------
+# Coefficient table + process-wide cache (reference: src/resampler_fir.rs:89-95,
+# 164-166, 406-443).
+# --------------------------------------------------------------------------
+
+_COEFF_CACHE: dict[tuple, np.ndarray] = {}
+_COEFF_LOCK = threading.Lock()
+
+
+def fir_cutoff(taps: int, attenuation: Attenuation, ratio: float) -> float:
+    """Normalized cutoff: Kaiser-theory cutoff for ``taps``, scaled to the
+    output Nyquist when downsampling (reference: src/resampler_fir.rs:316-324)."""
+    base = calculate_cutoff_kaiser(taps, attenuation.kaiser_beta)
+    if ratio > 1.0:  # downsampling: anti-aliasing at output Nyquist
+        return base / ratio
+    return base
+
+
+def fir_coefficients(
+    taps: int, attenuation: Attenuation, cutoff: float
+) -> np.ndarray:
+    """``[PHASES, taps]`` float32 polyphase table, cached process-wide by
+    ``(cutoff bits, taps, attenuation)``."""
+    key = (np.float32(cutoff).tobytes(), taps, attenuation)
+    with _COEFF_LOCK:
+        table = _COEFF_CACHE.get(key)
+        if table is None:
+            table = make_sincs_for_kaiser(
+                taps,
+                PHASES,
+                float(np.float32(cutoff)),
+                attenuation.kaiser_beta,
+                WindowType.SYMMETRIC,
+            )
+            _COEFF_CACHE[key] = table
+    return table
+
+
+# --------------------------------------------------------------------------
+# Functional step
+# --------------------------------------------------------------------------
+
+
+def _schedule(config: FirConfig, pos_num, avail, out_budget):
+    """Vectorized per-chunk output schedule.
+
+    Returns ``(n_out, offsets[i], phase1[i], phase2[i], frac[i])`` for
+    ``i in [0, out_capacity)`` with lanes ``i >= n_out`` clamped to the last
+    valid position (so downstream gathers stay in range).
+
+    Overflow analysis (all int32): with ``M = ratio_den <= 500_000`` and
+    ``L = ratio_num <= 2^31/(capacity+2)``:
+    ``(avail - taps + 1) * M <= (capacity+1) * M < 2^31`` and every
+    ``num_i = pos_num + i_eff * L <= (avail - taps + 1) * M + L < 2^31``
+    because lanes are clamped to ``i_eff <= n_out``; ``rem * phases <=
+    (M-1) * 1024 < 2^31``.
+    """
+    L = jnp.int32(config.ratio_num)
+    M = jnp.int32(config.ratio_den)
+    taps = config.taps
+    phases = jnp.int32(config.phases)
+
+    # Largest n with pos_num + (n-1)*L < (avail - taps + 1) * M.
+    limit = (avail - taps + 1) * M - pos_num
+    n_from_input = jnp.where(limit > 0, (limit + L - 1) // L, 0)
+    n_out = jnp.clip(n_from_input, 0, out_budget).astype(jnp.int32)
+
+    i = jnp.arange(config.out_capacity, dtype=jnp.int32)
+    i_eff = jnp.minimum(i, jnp.maximum(n_out - 1, 0))
+    num = pos_num + i_eff * L
+    offset = num // M
+    rem = num - offset * M
+    pf = rem * phases  # phase_f numerator, units of 1/M
+    phase1 = pf // M
+    phase2 = jnp.minimum(phase1 + 1, phases - 1)
+    frac = (pf - phase1 * M).astype(jnp.float32) / M.astype(jnp.float32)
+    return n_out, offset, phase1, phase2, frac
+
+
+def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, use_pallas: bool = False):
+    """Build the pure chunk-step function for ``config``.
+
+    ``step(state, chunk_frames [n, C] f32, n_valid, out_budget) ->
+    (state', out_frames [out_capacity, C] f32, consumed, produced)``
+    with frames counted per channel.  Jit-compatible; shapes static per
+    input bucket.
+    """
+    coeffs = jnp.asarray(coeffs, jnp.float32)
+    assert coeffs.shape == (config.phases, config.taps)
+    C = config.channels
+
+    if use_pallas:
+        from ..ops.fir_kernel import polyphase_convolve_pallas as _convolve
+    else:
+        _convolve = polyphase_convolve_jnp
+
+    def step(state: FirState, chunk, n_valid, out_budget):
+        chunk = chunk.astype(jnp.float32)
+        n_in = chunk.shape[0]
+        assert n_in <= MAX_CHUNK and chunk.shape[1] == C
+        n_valid = jnp.minimum(jnp.asarray(n_valid, jnp.int32), n_in)
+        out_budget = jnp.asarray(out_budget, jnp.int32)
+
+        buffer = state["buffer"]
+        read_pos = state["read_position"]
+        avail = state["available_frames"]
+        pos_num = state["pos_num"]
+
+        # ---- copy-in (reference: src/resampler_fir.rs:524-538) ----
+        write_pos = read_pos + avail
+        remaining = jnp.maximum(BUFFER_SIZE - write_pos, 0)
+        to_copy = jnp.minimum(
+            jnp.minimum(n_valid, remaining), INPUT_CAPACITY - avail
+        )
+        region = jax.lax.dynamic_slice(buffer, (0, write_pos), (C, n_in))
+        mask = jnp.arange(n_in, dtype=jnp.int32) < to_copy
+        region = jnp.where(mask[None, :], chunk.T, region)
+        buffer = jax.lax.dynamic_update_slice(buffer, region, (0, write_pos))
+        avail = avail + to_copy
+
+        # ---- schedule (reference hot loop: src/resampler_fir.rs:542-565) ----
+        n_out, offset, phase1, phase2, frac = _schedule(
+            config, pos_num, avail, out_budget
+        )
+
+        # ---- polyphase convolution ----
+        out = _convolve(
+            buffer, read_pos, offset, phase1, phase2, frac, coeffs
+        )  # [out_capacity, C]
+        lane = jnp.arange(config.out_capacity, dtype=jnp.int32)
+        out = jnp.where((lane < n_out)[:, None], out, 0.0)
+
+        # ---- consume (reference: src/resampler_fir.rs:592-602) ----
+        pos_after = pos_num + n_out * jnp.int32(config.ratio_num)
+        consumed = jnp.minimum(pos_after // jnp.int32(config.ratio_den), avail)
+        read_pos = read_pos + consumed
+        avail = avail - consumed
+        pos_num = pos_after - consumed * jnp.int32(config.ratio_den)
+
+        # ---- compaction (reference: src/resampler_fir.rs:605-615) ----
+        buffer, read_pos = jax.lax.cond(
+            read_pos > INPUT_CAPACITY,
+            lambda b, r: (jnp.roll(b, -r, axis=1), jnp.int32(0)),
+            lambda b, r: (b, r),
+            buffer,
+            read_pos,
+        )
+
+        new_state = FirState(
+            buffer=buffer,
+            read_position=read_pos,
+            available_frames=avail,
+            pos_num=pos_num,
+        )
+        return new_state, out, to_copy, n_out
+
+    return step
+
+
+def polyphase_convolve_jnp(buffer, read_pos, offset, phase1, phase2, frac, table):
+    """Pure-jnp polyphase convolution: gather input windows + blended-row
+    contraction.  Semantics identical to the reference SIMD kernels
+    (reference: src/fir/mod.rs:18-45, src/fir/avx.rs:14-61): the two phase
+    rows are linearly interpolated and dotted against ``taps`` input samples
+    per output frame; interpolating the rows before the dot equals
+    interpolating the two dot products.
+
+    - ``buffer``: ``[C, buffer_alloc]`` ring buffer
+    - ``offset/phase1/phase2/frac``: ``[N]`` schedule arrays
+    - ``table``: ``[PHASES, taps]`` coefficients
+    Returns ``[N, C]`` output frames.
+    """
+    taps = table.shape[1]
+    idx = read_pos + offset[:, None] + jnp.arange(taps, dtype=jnp.int32)[None, :]
+    x = jnp.take(buffer, idx, axis=1, mode="clip")  # [C, N, taps]
+    w = (1.0 - frac)[:, None] * table[phase1] + frac[:, None] * table[phase2]
+    return jnp.einsum("cnt,nt->nc", x, w, preferred_element_type=jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Stateful wrapper — reference-parity public API
+# --------------------------------------------------------------------------
+
+#: Padded input bucket sizes (frames).  A small fixed set keeps the number
+#: of compiled step variants warm and bounded (SURVEY.md §5 long-context
+#: note: bucketed padding avoids recompiles for arbitrary input sizes).
+_BUCKETS = tuple(32 * (2**k) for k in range(8))  # 32 .. 4096
+
+
+def _bucket_for(n_frames: int) -> int:
+    n = min(n_frames, MAX_CHUNK)
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return MAX_CHUNK
+
+
+class ResamplerFir:
+    """High-quality polyphase FIR audio resampler with a streaming API.
+
+    Mirrors the reference public surface
+    (reference: src/resampler_fir.rs:168-643): interleaved f32 buffers,
+    arbitrary input sizes, ``resample() -> (consumed, produced)`` counted in
+    total f32 values, ``buffer_size_output()``, ``delay()``, ``reset()``.
+
+    Example::
+
+        r = ResamplerFir(2, SampleRate.Hz48000, SampleRate.Hz44100,
+                         Latency.Sample64, Attenuation.Db90)
+        out = np.zeros(r.buffer_size_output(), np.float32)
+        consumed, produced = r.resample(input_interleaved, out)
+    """
+
+    def __init__(
+        self,
+        channels: int,
+        input_rate,
+        output_rate,
+        latency: Latency = Latency.Sample64,
+        attenuation: Attenuation = Attenuation.Db120,
+        *,
+        use_pallas: bool | None = None,
+    ) -> None:
+        input_hz = int(input_rate)
+        output_hz = int(output_rate)
+        L, M = reduce_ratio(input_hz, output_hz)
+        self._config = FirConfig(
+            channels=channels, taps=latency.taps, ratio_num=L, ratio_den=M
+        )
+        self._latency = latency
+        self._attenuation = attenuation
+        self._input_hz = input_hz
+        self._output_hz = output_hz
+        ratio = input_hz / output_hz
+        cutoff = fir_cutoff(latency.taps, attenuation, ratio)
+        self._coeffs = fir_coefficients(latency.taps, attenuation, cutoff)
+        if use_pallas is None:
+            use_pallas = _default_use_pallas()
+        self._step = jax.jit(
+            make_fir_step(self._config, self._coeffs, use_pallas=use_pallas),
+            donate_argnums=0,
+        )
+        self._state = fir_init(self._config)
+
+    # -- constructors -----------------------------------------------------
+
+    @classmethod
+    def new_from_hz(
+        cls,
+        channels: int,
+        input_rate_hz: int,
+        output_rate_hz: int,
+        latency: Latency = Latency.Sample64,
+        attenuation: Attenuation = Attenuation.Db120,
+    ) -> "ResamplerFir":
+        """Construct from arbitrary integer sample rates
+        (reference: src/resampler_fir.rs:295-404)."""
+        return cls(channels, input_rate_hz, output_rate_hz, latency, attenuation)
+
+    # -- introspection ----------------------------------------------------
+
+    @property
+    def channels(self) -> int:
+        return self._config.channels
+
+    @property
+    def taps(self) -> int:
+        return self._config.taps
+
+    @property
+    def ratio(self) -> float:
+        return self._input_hz / self._output_hz
+
+    def buffer_size_output(self) -> int:
+        """Maximum output buffer size (total f32 values) one call can fill
+        (reference: src/resampler_fir.rs:455-465)."""
+        return self._config.out_capacity * self._config.channels
+
+    def delay(self) -> int:
+        """Algorithmic delay in input samples (= taps/2)."""
+        return self._config.delay
+
+    def reset(self) -> None:
+        """Clear all stream state (reference: src/resampler_fir.rs:638-642)."""
+        self._state = fir_init(self._config)
+
+    @property
+    def state(self) -> FirState:
+        """Explicit stream-state pytree (checkpointable)."""
+        return self._state
+
+    @state.setter
+    def state(self, value: FirState) -> None:
+        self._state = value
+
+    # -- processing --------------------------------------------------------
+
+    def resample(self, input, output) -> tuple[int, int]:
+        """Consume interleaved ``input`` and write resampled frames into
+        interleaved ``output``; returns ``(consumed, produced)`` in total
+        f32 values (reference: src/resampler_fir.rs:509-621)."""
+        C = self._config.channels
+        input = np.asarray(input, dtype=np.float32)
+        if input.ndim != 1 or input.size % C:
+            raise InvalidInputBufferSize(
+                f"input length {input.size} is not a multiple of channels {C}"
+            )
+        if not isinstance(output, np.ndarray) or output.ndim != 1 or output.size % C:
+            raise InvalidOutputBufferSize(
+                "output must be a 1-D numpy array with length a multiple of "
+                f"channels {C}"
+            )
+
+        n_frames = input.size // C
+        out_budget = min(output.size // C, self._config.out_capacity)
+
+        bucket = _bucket_for(n_frames)
+        chunk = np.zeros((bucket, C), np.float32)
+        n_feed = min(n_frames, bucket)
+        if n_feed:
+            chunk[:n_feed] = input[: n_feed * C].reshape(n_feed, C)
+
+        self._state, out, consumed, produced = self._step(
+            self._state, chunk, np.int32(n_feed), np.int32(out_budget)
+        )
+        consumed = int(consumed)
+        produced = int(produced)
+        if produced:
+            output[: produced * C] = np.asarray(out[:produced]).reshape(-1)
+        return consumed * C, produced * C
+
+    def process(self, input) -> np.ndarray:
+        """Convenience batch helper: feed ``input`` in chunks until fully
+        consumed, returning the concatenated output (mirrors the reference
+        CLI loop, reference: resample/src/main.rs:226-254)."""
+        input = np.asarray(input, dtype=np.float32)
+        out_buf = np.zeros(self.buffer_size_output(), np.float32)
+        pieces = []
+        offset = 0
+        while offset < input.size:
+            consumed, produced = self.resample(input[offset:], out_buf)
+            pieces.append(out_buf[:produced].copy())
+            offset += consumed
+            if consumed == 0 and produced == 0:
+                break
+        return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+
+    def __repr__(self) -> str:
+        return (
+            f"ResamplerFir(channels={self.channels}, "
+            f"{self._input_hz}->{self._output_hz} Hz, taps={self.taps}, "
+            f"phases={self._config.phases})"
+        )
+
+
+def _default_use_pallas() -> bool:
+    """Pallas kernels are enabled by default on TPU backends only."""
+    # TODO(pallas): flip to `jax.default_backend() == "tpu"` once the fused
+    # Pallas polyphase kernel (ops/fir_kernel.py) lands and is benchmarked
+    # against the XLA gather+contraction path.
+    return False

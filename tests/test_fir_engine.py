@@ -1,0 +1,219 @@
+"""FIR engine tests: differential vs scalar model, signal quality, API
+semantics (reference test strategy: src/resampler_fir.rs:645-863)."""
+
+import numpy as np
+import pytest
+
+from resampler_tpu import Attenuation, Latency, ResamplerFir, SampleRate
+from resampler_tpu.types import InvalidInputBufferSize, InvalidOutputBufferSize
+
+from reference_models import ScalarFir
+
+
+def run_stream(resampler, x, chunk=512):
+    out_buf = np.zeros(resampler.buffer_size_output(), np.float32)
+    pieces = []
+    offset = 0
+    while offset < x.size:
+        end = min(offset + chunk, x.size)
+        consumed, produced = resampler.resample(x[offset:end], out_buf)
+        pieces.append(out_buf[:produced].copy())
+        offset += consumed
+        if consumed == 0 and produced == 0:
+            break
+    return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+
+
+@pytest.mark.parametrize(
+    "in_hz,out_hz,latency",
+    [
+        (48000, 44100, Latency.Sample64),
+        (44100, 48000, Latency.Sample64),
+        (22050, 48000, Latency.Sample16),
+        (48000, 16000, Latency.Sample32),
+        (16000, 192000, Latency.Sample8),
+        (24000, 16000, Latency.Sample32),
+        (44100, 44100, Latency.Sample64),
+    ],
+)
+def test_differential_vs_scalar_model(in_hz, out_hz, latency):
+    """Device path matches an independent f64 scalar implementation of the
+    streaming semantics on random noise, including consumed/produced
+    bookkeeping across many arbitrary-size chunks."""
+    rng = np.random.default_rng(42)
+    C = 2
+    x = rng.standard_normal(2 * 9000).astype(np.float32) * 0.5
+
+    ours = ResamplerFir(C, in_hz, out_hz, latency, Attenuation.Db90)
+    theirs = ScalarFir(C, in_hz, out_hz, latency.taps, 10.0)
+
+    out_buf = np.zeros(ours.buffer_size_output(), np.float32)
+    # Arbitrary sizes within two padding buckets (keeps compile count low
+    # while still exercising ragged chunk boundaries).
+    chunk_sizes = np.concatenate(
+        [rng.integers(1, 64, size=50), rng.integers(450, 512, size=30)]
+    ) * C
+    offset_a = offset_b = 0
+    got_a, got_b = [], []
+    for cs in chunk_sizes:
+        end_a = min(offset_a + int(cs), x.size)
+        ca, pa = ours.resample(x[offset_a:end_a], out_buf)
+        got_a.append(out_buf[:pa].copy())
+        offset_a += ca
+
+        end_b = min(offset_b + int(cs), x.size)
+        cb, yb = theirs.resample(
+            x[offset_b:end_b], out_capacity_frames=out_buf.size // C
+        )
+        got_b.append(yb)
+        offset_b += cb
+
+        assert ca == cb
+        assert pa == yb.size
+
+    ya = np.concatenate(got_a)
+    yb = np.concatenate(got_b)
+    assert ya.size == yb.size
+    np.testing.assert_allclose(ya, yb, atol=2e-5, rtol=1e-4)
+
+
+def test_stream_invariance():
+    """Output is independent of how the input is chunked."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(2 * 6000).astype(np.float32)
+    outs = []
+    for chunk in (64, 512, 4096):
+        r = ResamplerFir(2, 48000, 44100, Latency.Sample32, Attenuation.Db90)
+        outs.append(run_stream(r, x, chunk))
+    for y in outs[1:]:
+        n = min(y.size, outs[0].size)
+        assert n > 0
+        np.testing.assert_array_equal(y[:n], outs[0][:n])
+
+
+def _measure_stopband_attenuation(in_rate, out_rate):
+    """Impulse → resample → 8192-pt FFT → passband max − stopband max,
+    mirroring the reference quality gate
+    (reference: src/resampler_fir.rs:688-801)."""
+    in_hz, out_hz = int(in_rate), int(out_rate)
+    n = int(in_hz * 2.0)
+    x = np.zeros(n, np.float32)
+    x[n // 2] = 1.0
+
+    r = ResamplerFir(1, in_rate, out_rate, Latency.Sample64, Attenuation.Db90)
+    y = run_stream(r, x, chunk=2048)
+
+    peak = int(np.argmax(np.abs(y)))
+    window = int(out_hz * 0.1)
+    start = max(peak - window // 2, 0)
+    ir = y[start : start + window]
+
+    fft_size = 8192
+    spec = np.fft.rfft(ir, fft_size)
+    mag_db = 20 * np.log10(np.maximum(np.abs(spec), 1e-10))
+
+    def bin_of(freq):
+        return round(freq / out_hz * fft_size)
+
+    nyq_in = in_hz / 2
+    passband = mag_db[bin_of(20.0) : bin_of(nyq_in * 0.9) + 1]
+    stop_end = min(len(mag_db) - 10, bin_of(out_hz / 2 * 0.95))
+    stopband = mag_db[bin_of(nyq_in * 1.1) : stop_end + 1]
+    return passband.max() - stopband.max()
+
+
+@pytest.mark.parametrize(
+    "in_rate,out_rate",
+    [
+        (SampleRate.Hz22050, SampleRate.Hz44100),
+        (SampleRate.Hz22050, SampleRate.Hz48000),
+    ],
+)
+def test_stopband_attenuation(in_rate, out_rate):
+    attenuation = _measure_stopband_attenuation(in_rate, out_rate)
+    assert attenuation >= 90.0, f"stopband attenuation too low: {attenuation:.2f} dB"
+
+
+def test_dc_preservation():
+    r = ResamplerFir(2, 48000, 44100, Latency.Sample64, Attenuation.Db120)
+    x = np.empty(2 * 8000, np.float32)
+    x[0::2] = 0.3
+    x[1::2] = 0.6
+    y = run_stream(r, x)
+    frames = y.reshape(-1, 2)
+    steady = frames[200:-200]
+    np.testing.assert_allclose(steady[:, 0], 0.3, atol=0.01)
+    np.testing.assert_allclose(steady[:, 1], 0.6, atol=0.01)
+
+
+def test_new_from_hz_matches_new():
+    # (reference: src/resampler_fir.rs:818-839)
+    a = ResamplerFir(1, SampleRate.Hz48000, SampleRate.Hz44100,
+                     Latency.Sample64, Attenuation.Db90)
+    b = ResamplerFir.new_from_hz(1, 48000, 44100, Latency.Sample64, Attenuation.Db90)
+    x = np.full(512, 0.5, np.float32)
+    oa = np.zeros(a.buffer_size_output(), np.float32)
+    ob = np.zeros(b.buffer_size_output(), np.float32)
+    ca, pa = a.resample(x, oa)
+    cb, pb = b.resample(x, ob)
+    assert (ca, pa) == (cb, pb)
+    np.testing.assert_array_equal(oa[:pa], ob[:pb])
+
+
+def test_arbitrary_rates():
+    r = ResamplerFir.new_from_hz(1, 24000, 16000, Latency.Sample32, Attenuation.Db60)
+    out = np.zeros(r.buffer_size_output(), np.float32)
+    consumed, produced = r.resample(np.zeros(256, np.float32), out)
+    assert consumed == 256
+
+
+def test_zero_rate_raises():
+    with pytest.raises(ValueError, match="input sample rate"):
+        ResamplerFir.new_from_hz(1, 0, 44100)
+    with pytest.raises(ValueError, match="output sample rate"):
+        ResamplerFir.new_from_hz(1, 44100, 0)
+
+
+def test_invalid_buffer_sizes():
+    r = ResamplerFir(2, 48000, 44100)
+    out = np.zeros(r.buffer_size_output(), np.float32)
+    with pytest.raises(InvalidInputBufferSize):
+        r.resample(np.zeros(33, np.float32), out)
+    with pytest.raises(InvalidOutputBufferSize):
+        r.resample(np.zeros(32, np.float32), np.zeros(7, np.float32))
+
+
+def test_reset():
+    r = ResamplerFir(1, 48000, 44100)
+    out = np.zeros(r.buffer_size_output(), np.float32)
+    r.resample(np.ones(512, np.float32), out)
+    r.reset()
+    state = r.state
+    assert int(state["available_frames"]) == 0
+    assert int(state["pos_num"]) == 0
+    assert float(np.abs(np.asarray(state["buffer"])).max()) == 0.0
+
+
+def test_delay():
+    assert ResamplerFir(1, 48000, 44100, Latency.Sample8).delay() == 8
+    assert ResamplerFir(1, 48000, 44100, Latency.Sample64).delay() == 64
+
+
+def test_state_checkpoint_resume():
+    """Stream state is an explicit pytree: save/restore mid-stream and the
+    continuation is bit-identical (capability beyond the reference)."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(6000).astype(np.float32)
+    a = ResamplerFir(1, 48000, 44100)
+    out = np.zeros(a.buffer_size_output(), np.float32)
+    a.resample(x[:3000], out)
+    saved = {k: np.asarray(v).copy() for k, v in a.state.items()}
+
+    y1 = run_stream(a, x[3000:])
+
+    b = ResamplerFir(1, 48000, 44100)
+    import jax.numpy as jnp
+
+    b.state = {k: jnp.asarray(v) for k, v in saved.items()}
+    y2 = run_stream(b, x[3000:])
+    np.testing.assert_array_equal(y1, y2)
