@@ -1,0 +1,128 @@
+"""Throughput benchmark: batched stereo 44.1 kHz -> 48 kHz on one chip.
+
+Mirrors the reference criterion benches, which measure f32 *output*
+throughput for stereo interleaved audio
+(reference: benches/benchmark_resampler_fir.rs:23-93,
+benches/benchmark_resampler_fft.rs:23-87; FIR config Latency::Sample64 +
+Db90).  Reference numbers (BASELINE.md, AMD Ryzen 9 9950X3D):
+FIR ~137 Msamples/s, FFT ~258 Msamples/s (midpoints of published ranges).
+
+TPU throughput comes from batching independent streams; the per-stream
+semantics are identical to the single-stream engines (tested in tests/).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+FIR_BASELINE_MSPS = 137.0  # CHANGELOG.md:77 midpoint (503-540 MiB/s)
+FFT_BASELINE_MSPS = 258.0  # CHANGELOG.md:75-76 midpoint (780-1192 MiB/s)
+
+
+def bench_fir(steps=30, warmup=5, n_streams=64, chunk_frames=4096):
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fir_engine
+    from resampler_tpu.types import Attenuation, Latency, reduce_ratio
+
+    C = 2
+    L, M = reduce_ratio(44100, 48000)
+    cfg = fir_engine.FirConfig(
+        channels=C, taps=Latency.Sample64.taps, ratio_num=L, ratio_den=M
+    )
+    cutoff = fir_engine.fir_cutoff(
+        Latency.Sample64.taps, Attenuation.Db90, 44100 / 48000
+    )
+    coeffs = fir_engine.fir_coefficients(
+        Latency.Sample64.taps, Attenuation.Db90, cutoff
+    )
+    step = fir_engine.make_fir_step(cfg, coeffs)
+
+    def fleet(state, chunks, n_valid, budget):
+        return jax.vmap(step)(state, chunks, n_valid, budget)
+
+    fleet = jax.jit(fleet, donate_argnums=0)
+
+    state = jax.vmap(lambda _: fir_engine.fir_init(cfg))(jnp.arange(n_streams))
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray(
+        rng.standard_normal((n_streams, chunk_frames, C)), jnp.float32
+    )
+    n_valid = jnp.full((n_streams,), chunk_frames, jnp.int32)
+    budget = jnp.full((n_streams,), cfg.out_capacity, jnp.int32)
+
+    produced_total = 0
+    for i in range(warmup):
+        state, out, consumed, produced = fleet(state, chunks, n_valid, budget)
+    jax.block_until_ready((state, out))
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, out, consumed, produced = fleet(state, chunks, n_valid, budget)
+        produced_total_arr = produced  # accumulate on host at the end
+        produced_total += int(jnp.sum(produced_total_arr))
+    jax.block_until_ready((state, out))
+    dt = time.perf_counter() - t0
+    samples = produced_total * C  # total interleaved f32 output values
+    return samples / dt / 1e6
+
+
+def bench_fft(steps=50, warmup=5, n_streams=256):
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fft as fft_engine
+
+    C = 2
+    cfg = fft_engine.FftConfig(
+        channels=C, fft_size_input=1176, fft_size_output=1280
+    )
+    step = fft_engine.make_fft_step(cfg)
+
+    def fleet(state, chunks):
+        return jax.vmap(step)(state, chunks)
+
+    fleet = jax.jit(fleet, donate_argnums=0)
+
+    state = jax.vmap(lambda _: fft_engine.fft_init(cfg))(jnp.arange(n_streams))
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray(
+        rng.standard_normal((n_streams, C, cfg.fft_size_input)), jnp.float32
+    )
+
+    for _ in range(warmup):
+        state, out = fleet(state, chunks)
+    jax.block_until_ready((state, out))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, out = fleet(state, chunks)
+    jax.block_until_ready((state, out))
+    dt = time.perf_counter() - t0
+    samples = steps * n_streams * C * cfg.fft_size_output
+    return samples / dt / 1e6
+
+
+def main():
+    fir_msps = bench_fir()
+    fft_msps = bench_fft()
+    result = {
+        "metric": "Msamples/sec/chip stereo 44.1->48k FIR (Sample64, Db90, batched streams)",
+        "value": round(fir_msps, 1),
+        "unit": "Msamples/s",
+        "vs_baseline": round(fir_msps / FIR_BASELINE_MSPS, 2),
+        "details": {
+            "fir_msamples_per_s": round(fir_msps, 1),
+            "fir_vs_reference": round(fir_msps / FIR_BASELINE_MSPS, 2),
+            "fft_msamples_per_s": round(fft_msps, 1),
+            "fft_vs_reference": round(fft_msps / FFT_BASELINE_MSPS, 2),
+            "reference": "hasenbanck/resampler on AMD Ryzen 9 9950X3D (BASELINE.md)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,12 +49,8 @@ __all__ = [
 
 
 def __getattr__(name):  # lazy imports keep `import resampler_tpu` light
-    if name in ("ResamplerFft", "BatchedResamplerFft"):
+    if name in __all__:
         from . import engine
 
-        return getattr(engine.fft, name)
-    if name in ("ResamplerFir", "BatchedResamplerFir"):
-        from . import engine
-
-        return getattr(engine.fir, name)
+        return getattr(engine, name)
     raise AttributeError(f"module 'resampler_tpu' has no attribute {name!r}")

@@ -1,4 +1,12 @@
-from . import fir
+from . import batched, fft, fir
+from .batched import BatchedResamplerFft, BatchedResamplerFir
+from .fft import (
+    FftConfig,
+    FftState,
+    ResamplerFft,
+    fft_init,
+    make_fft_step,
+)
 from .fir import (
     FirConfig,
     FirState,
@@ -9,7 +17,16 @@ from .fir import (
 )
 
 __all__ = [
+    "batched",
+    "fft",
     "fir",
+    "BatchedResamplerFft",
+    "BatchedResamplerFir",
+    "FftConfig",
+    "FftState",
+    "ResamplerFft",
+    "fft_init",
+    "make_fft_step",
     "FirConfig",
     "FirState",
     "ResamplerFir",

@@ -1,0 +1,192 @@
+"""Batched multi-stream resampler engines.
+
+Throughput on TPU comes from batching many independent audio streams
+(streams × channels) into one device program (SURVEY.md §2.9: the
+reference's "instance parallelism by construction" becomes a vmapped batch
+axis).  Both engines expose:
+
+- a functional ``init(batch) -> state`` / ``step(state, chunks, ...)``
+  pair whose leading axis is the stream batch, jit/pjit-ready;
+- a stateful wrapper with numpy I/O;
+- optional mesh sharding of the batch axis across chips
+  (resampler_tpu/parallel/sharding.py).
+
+Telemetry: ``step`` also returns the per-call peak magnitude across the
+fleet — a cross-stream reduction XLA lowers to one ``psum`` over ICI when
+sharded, demonstrating (and testing) the collective path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.sharding import shard_batch, stream_mesh
+from ..types import Attenuation, Latency, reduce_ratio
+from . import fft as fft_engine
+from . import fir as fir_engine
+
+__all__ = ["BatchedResamplerFir", "BatchedResamplerFft"]
+
+
+class BatchedResamplerFir:
+    """``n_streams`` independent FIR resamplers stepped as one program.
+
+    All streams share one configuration (rates/taps/attenuation) — the
+    common fleet-serving case (e.g. 64 concurrent 8-channel streams,
+    BASELINE.md config 5).  Per-stream state (buffer fill, phase) is
+    independent; chunks may have per-stream valid lengths.
+    """
+
+    def __init__(
+        self,
+        n_streams: int,
+        channels: int,
+        input_rate,
+        output_rate,
+        latency: Latency = Latency.Sample64,
+        attenuation: Attenuation = Attenuation.Db120,
+        *,
+        mesh=None,
+        use_pallas: bool | None = None,
+    ) -> None:
+        L, M = reduce_ratio(int(input_rate), int(output_rate))
+        self._config = fir_engine.FirConfig(
+            channels=channels, taps=latency.taps, ratio_num=L, ratio_den=M
+        )
+        self.n_streams = n_streams
+        cutoff = fir_engine.fir_cutoff(
+            latency.taps, attenuation, int(input_rate) / int(output_rate)
+        )
+        coeffs = fir_engine.fir_coefficients(latency.taps, attenuation, cutoff)
+        if use_pallas is None:
+            use_pallas = fir_engine._default_use_pallas()
+        step = fir_engine.make_fir_step(
+            self._config, coeffs, use_pallas=use_pallas
+        )
+        self._mesh = mesh
+
+        def batched_step(state, chunks, n_valid, out_budget):
+            new_state, out, consumed, produced = jax.vmap(
+                step, in_axes=(0, 0, 0, 0)
+            )(state, chunks, n_valid, out_budget)
+            peak = jnp.max(jnp.abs(out))  # fleet telemetry (one psum)
+            return new_state, out, consumed, produced, peak
+
+        self._step = jax.jit(batched_step, donate_argnums=0)
+        state = jax.vmap(lambda _: fir_engine.fir_init(self._config))(
+            jnp.arange(n_streams)
+        )
+        self._state = shard_batch(state, mesh) if mesh is not None else state
+
+    @property
+    def config(self):
+        return self._config
+
+    @property
+    def state(self):
+        return self._state
+
+    @state.setter
+    def state(self, value):
+        self._state = value
+
+    def buffer_size_output(self) -> int:
+        return self._config.out_capacity * self._config.channels
+
+    def resample(self, chunks: np.ndarray, n_valid=None):
+        """Step all streams.
+
+        - ``chunks``: ``[n_streams, frames, channels]`` f32
+        - ``n_valid``: optional ``[n_streams]`` int32 valid frame counts
+          (defaults to full chunks)
+
+        Returns ``(out [n_streams, out_cap, channels], consumed[B],
+        produced[B], fleet_peak)`` with frames counted per channel.
+        """
+        chunks = np.asarray(chunks, np.float32)
+        B, n, C = chunks.shape
+        assert B == self.n_streams and C == self._config.channels
+        if n_valid is None:
+            n_valid = np.full((B,), n, np.int32)
+        budget = np.full((B,), self._config.out_capacity, np.int32)
+        if self._mesh is not None:
+            chunks = shard_batch(chunks, self._mesh)
+        self._state, out, consumed, produced, peak = self._step(
+            self._state, chunks, np.asarray(n_valid, np.int32), budget
+        )
+        return out, consumed, produced, peak
+
+
+class BatchedResamplerFft:
+    """``n_streams`` independent FFT resamplers stepped as one program.
+
+    The chunk operator is linear and identical for every (stream, channel),
+    so the batched step folds ``streams × channels`` into one big matmul
+    against the shared spectral projection matrix — ideal MXU utilization.
+    """
+
+    def __init__(
+        self,
+        n_streams: int,
+        channels: int,
+        sample_rate_input,
+        sample_rate_output,
+        *,
+        mesh=None,
+        backend: str = "matmul",
+    ) -> None:
+        from ..dsp.planner import plan_conversion
+        from ..types import SampleRate
+
+        cfg = plan_conversion(
+            SampleRate(sample_rate_input), SampleRate(sample_rate_output)
+        ).scale_for_throughput()
+        self._config = fft_engine.FftConfig(
+            channels=channels,
+            fft_size_input=cfg.fft_size_input,
+            fft_size_output=cfg.fft_size_output,
+        )
+        self.n_streams = n_streams
+        self._mesh = mesh
+        step = fft_engine.make_fft_step(self._config, backend=backend)
+
+        def batched_step(state, chunks):
+            new_state, out = jax.vmap(step)(state, chunks)
+            return new_state, out
+
+        self._step = jax.jit(batched_step, donate_argnums=0)
+        state = jax.vmap(lambda _: fft_engine.fft_init(self._config))(
+            jnp.arange(n_streams)
+        )
+        self._state = shard_batch(state, mesh) if mesh is not None else state
+
+    @property
+    def config(self):
+        return self._config
+
+    @property
+    def state(self):
+        return self._state
+
+    @state.setter
+    def state(self, value):
+        self._state = value
+
+    def chunk_size_input(self) -> int:
+        return self._config.fft_size_input * self._config.channels
+
+    def chunk_size_output(self) -> int:
+        return self._config.fft_size_output * self._config.channels
+
+    def resample(self, chunks: np.ndarray) -> np.ndarray:
+        """Step all streams: ``chunks [B, C, N] -> out [B, C, M]``."""
+        chunks = np.asarray(chunks, np.float32)
+        B, C, N = chunks.shape
+        assert B == self.n_streams and C == self._config.channels
+        assert N == self._config.fft_size_input
+        if self._mesh is not None:
+            chunks = shard_batch(chunks, self._mesh)
+        self._state, out = self._step(self._state, chunks)
+        return out

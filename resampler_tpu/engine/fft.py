@@ -1,0 +1,333 @@
+"""FFT overlap-add resampler engine — TPU-native.
+
+Re-design of the reference FFT resampler
+(reference: src/resampler_fft.rs:38-425) around one TPU-first idea:
+
+**The whole spectral pipeline is one matrix.**  Per chunk the reference
+runs: zero-pad N→2N → forward real FFT → multiply by a precomputed Kaiser
+filter spectrum → truncate/zero-pad bins to the output size → inverse real
+FFT at 2M → overlap-add.  Every step is linear in the input, and chunk
+sizes are small and fixed (N ≤ 4096, from the planner table), so the
+composition is a dense ``[N, 2M]`` real matrix ``T`` — precomputed once in
+float64 on the host (the reference computes f32 FFTs at runtime; designing
+``T`` in f64 and casting once is strictly more accurate), cached
+process-wide like the reference's FFT_CACHE, and applied on the MXU as a
+single matmul per chunk.  Batched over channels and streams this reaches
+MXU speed-of-light; there is no FFT butterfly code on the hot path at all
+(the reference spends ~8.4k LoC of SIMD on that — SURVEY.md §2.5).
+
+A ``jnp.fft``-based step is kept as a cross-checking backend
+(``backend="fft"``), mirroring the reference dataflow op-for-op; tests
+assert both paths agree.
+
+The overlap-add carry is explicit pytree state ``overlap [C, M]``, so the
+engine jits, vmaps (multi-stream), and shards like the FIR engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dsp.planner import plan_conversion
+from ..dsp.window import WindowType, calculate_cutoff_kaiser, make_sincs_for_kaiser
+from ..types import (
+    InvalidInputBufferSize,
+    InvalidOutputBufferSize,
+    SampleRate,
+)
+
+__all__ = [
+    "KAISER_BETA",
+    "FftConfig",
+    "FftState",
+    "fft_init",
+    "make_fft_step",
+    "spectral_projection_matrix",
+    "fft_filter_spectrum",
+    "ResamplerFft",
+]
+
+#: Kaiser window beta for ~-100 dB stopband
+#: (reference: src/resampler_fft.rs:16).
+KAISER_BETA = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class FftConfig:
+    """Static FFT engine configuration for one rate pair."""
+
+    channels: int
+    fft_size_input: int   # N: input samples per chunk per channel
+    fft_size_output: int  # M: output samples per chunk per channel
+
+    @property
+    def delay(self) -> int:
+        """Algorithmic latency in input samples = N/2
+        (reference: src/resampler_fft.rs:147-153)."""
+        return self.fft_size_input // 2
+
+
+#: Overlap-add carry pytree: ``{"overlap": f32[C, M]}``.
+FftState = dict
+
+
+def fft_init(config: FftConfig) -> FftState:
+    return {
+        "overlap": jnp.zeros(
+            (config.channels, config.fft_size_output), jnp.float32
+        )
+    }
+
+
+# --------------------------------------------------------------------------
+# Filter + projection-matrix design (host, float64, cached)
+# --------------------------------------------------------------------------
+
+
+def fft_filter_spectrum(n_in: int, n_out: int) -> np.ndarray:
+    """Kaiser filter spectrum of the overlap-add filter, float64.
+
+    Matches the reference design (reference: src/resampler_fft.rs:338-383):
+    cutoff from Kaiser theory at size ``min(n_in, n_out)``, scaled by
+    ``n_out/n_in`` when downsampling; periodic window; time-domain filter
+    normalized by ``1/(2*n_in)`` (folding the unnormalized-FFT round-trip
+    scale into the filter); spectrum = rFFT of the zero-padded filter.
+    Returns ``[n_in + 1]`` complex128 bins.
+    """
+    if n_in > n_out:
+        scale = n_out / n_in
+        cutoff = calculate_cutoff_kaiser(n_out, KAISER_BETA) * scale
+    else:
+        cutoff = calculate_cutoff_kaiser(n_in, KAISER_BETA)
+
+    sincs = make_sincs_for_kaiser(
+        n_in, 1, float(np.float32(cutoff)), KAISER_BETA, WindowType.PERIODIC
+    ).astype(np.float64)[0]
+    filter_time = np.zeros(2 * n_in, np.float64)
+    filter_time[:n_in] = sincs / (2 * n_in)
+    return np.fft.rfft(filter_time)
+
+
+def spectral_projection_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """The fused ``[n_in, 2*n_out]`` float32 chunk operator ``T``.
+
+    ``chunk_out_full = chunk_in @ T`` equals the reference per-chunk
+    pipeline (reference: src/resampler_fft.rs:385-415): zero-pad to 2N,
+    unnormalized rFFT, multiply the first ``new_length`` bins by the filter
+    spectrum, copy them into a ``n_out+1``-bin spectrum (rest zero),
+    unnormalized inverse rFFT at 2M.  Built column-exactly by pushing the
+    identity basis through the (linear) pipeline with f64 numpy FFTs.
+    """
+    filt = fft_filter_spectrum(n_in, n_out)
+    new_length = n_in + 1 if n_in < n_out else n_out
+
+    basis = np.zeros((n_in, 2 * n_in), np.float64)
+    basis[:, :n_in] = np.eye(n_in)
+    spectrum = np.fft.rfft(basis, axis=1)  # unnormalized forward
+    spectrum = spectrum[:, :new_length] * filt[:new_length]
+
+    out_spec = np.zeros((n_in, n_out + 1), np.complex128)
+    out_spec[:, :new_length] = spectrum
+    # numpy irfft normalizes by 1/(2M); the reference inverse FFT is
+    # unnormalized, so scale back by 2M.
+    time = np.fft.irfft(out_spec, n=2 * n_out, axis=1) * (2 * n_out)
+    return np.ascontiguousarray(time, dtype=np.float32)
+
+
+_PROJ_CACHE: dict[tuple[int, int], np.ndarray] = {}
+_PROJ_LOCK = threading.Lock()
+
+
+def get_projection_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Process-wide cache of projection matrices, the analog of the
+    reference's global FFT_CACHE (reference: src/resampler_fft.rs:34-36,
+    305-335)."""
+    key = (n_in, n_out)
+    with _PROJ_LOCK:
+        mat = _PROJ_CACHE.get(key)
+        if mat is None:
+            mat = spectral_projection_matrix(n_in, n_out)
+            _PROJ_CACHE[key] = mat
+    return mat
+
+
+# --------------------------------------------------------------------------
+# Functional step
+# --------------------------------------------------------------------------
+
+
+def make_fft_step(config: FftConfig, *, backend: str = "matmul"):
+    """Build the pure chunk-step:
+
+    ``step(state, chunk [C, N] f32) -> (state', out [C, M] f32)``
+
+    ``backend="matmul"`` applies the fused projection matrix on the MXU;
+    ``backend="fft"`` mirrors the reference dataflow with ``jnp.fft``
+    (cross-check / very large custom sizes).
+    """
+    n_in = config.fft_size_input
+    n_out = config.fft_size_output
+
+    if backend == "matmul":
+        proj = jnp.asarray(get_projection_matrix(n_in, n_out))
+
+        def chunk_op(x):  # [C, N] -> [C, 2M]
+            return jnp.dot(x, proj, preferred_element_type=jnp.float32)
+
+    elif backend == "fft":
+        # Cross-checking backend mirroring the reference dataflow.  Note:
+        # complex dtypes may be unsupported on some TPU runtimes — the
+        # "matmul" backend is the production TPU path; keep the filter as a
+        # host-side numpy constant so tracing never round-trips a complex
+        # array through the device.
+        filt_np = fft_filter_spectrum(n_in, n_out)
+        new_length = n_in + 1 if n_in < n_out else n_out
+        filt = np.asarray(filt_np[:new_length], np.complex64)
+
+        def chunk_op(x):  # [C, N] -> [C, 2M]
+            spec = jnp.fft.rfft(x, n=2 * n_in, axis=1)
+            spec = spec[:, :new_length] * filt
+            pad = n_out + 1 - new_length
+            spec = jnp.pad(spec, ((0, 0), (0, pad)))
+            return jnp.fft.irfft(spec, n=2 * n_out, axis=1) * (2 * n_out)
+
+    else:
+        raise ValueError(f"unknown FFT backend {backend!r}")
+
+    def step(state: FftState, chunk):
+        full = chunk_op(chunk.astype(jnp.float32))
+        out = full[:, :n_out] + state["overlap"]
+        return {"overlap": full[:, n_out:]}, out
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# Stateful wrapper — reference-parity public API
+# --------------------------------------------------------------------------
+
+
+class ResamplerFft:
+    """FFT overlap-add resampler with a fixed chunk-size API
+    (reference: src/resampler_fft.rs:43-240).
+
+    Interleaved f32 buffers; exactly one chunk per ``resample()`` call::
+
+        r = ResamplerFft(2, SampleRate.Hz44100, SampleRate.Hz48000)
+        input = np.zeros(r.chunk_size_input(), np.float32)
+        output = np.zeros(r.chunk_size_output(), np.float32)
+        r.resample(input, output)
+    """
+
+    def __init__(
+        self,
+        channels: int,
+        sample_rate_input: SampleRate,
+        sample_rate_output: SampleRate,
+        *,
+        backend: str = "matmul",
+    ) -> None:
+        sample_rate_input = SampleRate(sample_rate_input)
+        sample_rate_output = SampleRate(sample_rate_output)
+        cfg = plan_conversion(
+            sample_rate_input, sample_rate_output
+        ).scale_for_throughput()
+        self._config = FftConfig(
+            channels=channels,
+            fft_size_input=cfg.fft_size_input,
+            fft_size_output=cfg.fft_size_output,
+        )
+        self._input_rate = sample_rate_input
+        self._output_rate = sample_rate_output
+        self._step = jax.jit(
+            make_fft_step(self._config, backend=backend), donate_argnums=0
+        )
+        self._state = fft_init(self._config)
+
+    @property
+    def channels(self) -> int:
+        return self._config.channels
+
+    @property
+    def fft_size_input(self) -> int:
+        return self._config.fft_size_input
+
+    @property
+    def fft_size_output(self) -> int:
+        return self._config.fft_size_output
+
+    def chunk_size_input(self) -> int:
+        """Required input size in total f32 values, all channels
+        (reference: src/resampler_fft.rs:131-137)."""
+        return self._config.fft_size_input * self._config.channels
+
+    def chunk_size_output(self) -> int:
+        """Produced output size in total f32 values, all channels
+        (reference: src/resampler_fft.rs:139-145)."""
+        return self._config.fft_size_output * self._config.channels
+
+    def delay(self) -> int:
+        return self._config.delay
+
+    def reset(self) -> None:
+        self._state = fft_init(self._config)
+
+    @property
+    def state(self) -> FftState:
+        return self._state
+
+    @state.setter
+    def state(self, value: FftState) -> None:
+        self._state = value
+
+    def resample(self, input, output) -> None:
+        """Resample exactly one interleaved chunk
+        (reference: src/resampler_fft.rs:155-240)."""
+        C = self._config.channels
+        input = np.asarray(input, dtype=np.float32)
+        if input.ndim != 1 or input.size < self.chunk_size_input():
+            raise InvalidInputBufferSize(
+                f"input must hold at least {self.chunk_size_input()} values"
+            )
+        if (
+            not isinstance(output, np.ndarray)
+            or output.ndim != 1
+            or output.size < self.chunk_size_output()
+        ):
+            raise InvalidOutputBufferSize(
+                f"output must hold at least {self.chunk_size_output()} values"
+            )
+
+        n_in = self._config.fft_size_input
+        chunk = input[: n_in * C].reshape(n_in, C).T  # deinterleave
+        self._state, out = self._step(self._state, chunk)
+        output[: self.chunk_size_output()] = np.asarray(out.T).reshape(-1)
+
+    def process(self, input) -> np.ndarray:
+        """Batch helper: pad to whole chunks, resample, truncate to the
+        expected length (mirrors the reference CLI batch loop,
+        reference: resample/src/main.rs:256-313)."""
+        input = np.asarray(input, dtype=np.float32)
+        ci, co = self.chunk_size_input(), self.chunk_size_output()
+        n_chunks = -(-input.size // ci) if input.size else 0
+        out = np.zeros(n_chunks * co, np.float32)
+        buf_in = np.zeros(ci, np.float32)
+        for k in range(n_chunks):
+            piece = input[k * ci : (k + 1) * ci]
+            buf_in[: piece.size] = piece
+            buf_in[piece.size :] = 0.0
+            self.resample(buf_in, out[k * co : (k + 1) * co])
+        expected = -(-input.size * co // ci)
+        return out[:expected]
+
+    def __repr__(self) -> str:
+        return (
+            f"ResamplerFft(channels={self.channels}, "
+            f"{int(self._input_rate)}->{int(self._output_rate)} Hz, "
+            f"N={self.fft_size_input}, M={self.fft_size_output})"
+        )

@@ -1,0 +1,54 @@
+"""Multi-chip scaling: shard the stream-batch axis over a TPU mesh.
+
+The reference is single-core; its scaling story is "run many independent
+resampler instances on many threads" (SURVEY.md §2.9).  The TPU-native
+equivalent is a leading ``stream`` batch axis sharded across chips with
+``jax.sharding`` — embarrassingly parallel, so no collective traffic rides
+the ICI except optional fleet telemetry reductions (peak meters), which XLA
+lowers to a single psum.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "stream_mesh",
+    "stream_sharding",
+    "shard_batch",
+    "replicate",
+]
+
+#: Mesh axis name for the independent-streams batch dimension.
+STREAM_AXIS = "stream"
+
+
+def stream_mesh(devices=None) -> Mesh:
+    """1-D device mesh over the independent-streams axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (STREAM_AXIS,))
+
+
+def stream_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (stream) axis, replicate the rest."""
+    return NamedSharding(mesh, P(STREAM_AXIS))
+
+
+def shard_batch(tree, mesh: Mesh):
+    """Place every array in ``tree`` with its leading axis sharded over the
+    stream axis of ``mesh``."""
+    sharding = stream_sharding(mesh)
+
+    def place(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(place, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate every array in ``tree`` across ``mesh``."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,115 @@
+"""Batched multi-stream engines + mesh sharding tests (runs on the
+8-device virtual CPU mesh from conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from resampler_tpu import (
+    Attenuation,
+    BatchedResamplerFft,
+    BatchedResamplerFir,
+    Latency,
+    ResamplerFir,
+    ResamplerFft,
+    SampleRate,
+)
+from resampler_tpu.parallel.sharding import stream_mesh
+
+
+def test_batched_fir_matches_single_stream():
+    """Each stream of the batch behaves exactly like a standalone
+    ResamplerFir fed the same chunks."""
+    B, C = 4, 2
+    rng = np.random.default_rng(1)
+    chunks = rng.standard_normal((B, 512, C)).astype(np.float32)
+
+    fleet = BatchedResamplerFir(
+        B, C, 44100, 48000, Latency.Sample32, Attenuation.Db90
+    )
+    out, consumed, produced, peak = fleet.resample(chunks)
+    out = np.asarray(out)
+
+    for b in range(B):
+        single = ResamplerFir(
+            C, 44100, 48000, Latency.Sample32, Attenuation.Db90
+        )
+        buf = np.zeros(single.buffer_size_output(), np.float32)
+        c, p = single.resample(chunks[b].reshape(-1), buf)
+        assert c == int(consumed[b]) * C
+        assert p == int(produced[b]) * C
+        np.testing.assert_array_equal(
+            buf[:p], out[b, : int(produced[b])].reshape(-1)
+        )
+    assert float(peak) == pytest.approx(float(np.abs(out).max()))
+
+
+def test_batched_fir_sharded_over_mesh():
+    """Batch axis sharded over the 8-device mesh produces identical
+    results to the unsharded fleet."""
+    B, C = 8, 2
+    rng = np.random.default_rng(2)
+    chunks = rng.standard_normal((B, 256, C)).astype(np.float32)
+
+    plain = BatchedResamplerFir(B, C, 48000, 44100)
+    sharded = BatchedResamplerFir(B, C, 48000, 44100, mesh=stream_mesh())
+
+    out_a = np.asarray(plain.resample(chunks)[0])
+    out_b = np.asarray(sharded.resample(chunks)[0])
+    # sharded compilation may fuse/reduce in a different order: ~1 ulp
+    np.testing.assert_allclose(out_a, out_b, atol=1e-5)
+
+    # state really is distributed across 8 devices
+    buf = sharded.state["buffer"]
+    assert len(buf.sharding.device_set) == 8
+
+
+def test_batched_fft_matches_single_stream():
+    B, C = 3, 2
+    rng = np.random.default_rng(3)
+    fleet = BatchedResamplerFft(B, C, SampleRate.Hz44100, SampleRate.Hz48000)
+    n_in = fleet.config.fft_size_input
+    chunks = rng.standard_normal((B, C, n_in)).astype(np.float32)
+
+    out = np.asarray(fleet.resample(chunks))
+    for b in range(B):
+        single = ResamplerFft(C, SampleRate.Hz44100, SampleRate.Hz48000)
+        x = chunks[b].T.reshape(-1)  # interleave
+        y = np.zeros(single.chunk_size_output(), np.float32)
+        single.resample(x, y)
+        np.testing.assert_array_equal(y, out[b].T.reshape(-1))
+
+
+def test_batched_fft_sharded_over_mesh():
+    B, C = 8, 1
+    rng = np.random.default_rng(4)
+    plain = BatchedResamplerFft(B, C, SampleRate.Hz48000, SampleRate.Hz96000)
+    sharded = BatchedResamplerFft(
+        B, C, SampleRate.Hz48000, SampleRate.Hz96000, mesh=stream_mesh()
+    )
+    n_in = plain.config.fft_size_input
+    chunks = rng.standard_normal((B, C, n_in)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(plain.resample(chunks)),
+        np.asarray(sharded.resample(chunks)),
+        atol=1e-5,
+    )
+
+
+def test_graft_entry_points():
+    """The driver-facing entry points compile and run on this mesh."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+
+    mod.dryrun_multichip(8)

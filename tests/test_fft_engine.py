@@ -1,0 +1,207 @@
+"""FFT engine tests: matmul-projector vs jnp.fft cross-check, signal
+quality gates mirroring the reference
+(reference: src/resampler_fft.rs:427-567)."""
+
+import numpy as np
+import pytest
+
+from resampler_tpu import ResamplerFft, SampleRate
+from resampler_tpu.engine.fft import (
+    FftConfig,
+    fft_init,
+    make_fft_step,
+    spectral_projection_matrix,
+)
+from resampler_tpu.types import InvalidInputBufferSize, InvalidOutputBufferSize
+
+EPSILON = 0.02
+
+RATE_PAIRS = [
+    (SampleRate.Hz48000, SampleRate.Hz44100),
+    (SampleRate.Hz44100, SampleRate.Hz48000),
+    (SampleRate.Hz48000, SampleRate.Hz32000),
+    (SampleRate.Hz32000, SampleRate.Hz48000),
+    (SampleRate.Hz96000, SampleRate.Hz48000),
+    (SampleRate.Hz48000, SampleRate.Hz96000),
+]
+
+
+@pytest.mark.parametrize("in_rate,out_rate", RATE_PAIRS)
+def test_dc_amplitude_preservation(in_rate, out_rate):
+    # (reference: src/resampler_fft.rs:440-474)
+    r = ResamplerFft(1, in_rate, out_rate)
+    dc = 0.5
+    x = np.full(r.chunk_size_input(), dc, np.float32)
+    out = np.zeros(r.chunk_size_output(), np.float32)
+    for _ in range(5):
+        r.resample(x, out)
+    lo = min(r.delay(), out.size // 4)
+    hi = out.size * 3 // 4
+    np.testing.assert_allclose(out[lo:hi], dc, atol=EPSILON)
+
+
+@pytest.mark.parametrize(
+    "in_rate,out_rate",
+    [
+        (SampleRate.Hz48000, SampleRate.Hz44100),
+        (SampleRate.Hz44100, SampleRate.Hz48000),
+        (SampleRate.Hz48000, SampleRate.Hz32000),
+    ],
+)
+def test_sine_amplitude_preservation(in_rate, out_rate):
+    # (reference: src/resampler_fft.rs:476-524)
+    r = ResamplerFft(1, in_rate, out_rate)
+    amp, freq = 0.5, 1000.0
+    n = r.chunk_size_input()
+    phase = 2 * np.pi * freq / int(in_rate) * np.arange(n)
+    x = (amp * np.sin(phase)).astype(np.float32)
+    out = np.zeros(r.chunk_size_output(), np.float32)
+    for _ in range(5):
+        r.resample(x, out)
+    lo = min(r.delay(), out.size // 4)
+    hi = out.size * 3 // 4
+    peak = np.abs(out[lo:hi]).max()
+    assert abs(peak - amp) < EPSILON
+
+
+def test_stereo_dc_preservation():
+    # (reference: src/resampler_fft.rs:526-566)
+    r = ResamplerFft(2, SampleRate.Hz48000, SampleRate.Hz44100)
+    x = np.empty(r.chunk_size_input(), np.float32)
+    x[0::2], x[1::2] = 0.3, 0.6
+    out = np.zeros(r.chunk_size_output(), np.float32)
+    for _ in range(5):
+        r.resample(x, out)
+    lo = min(r.delay(), out.size // 8) * 2
+    hi = out.size * 3 // 4
+    frames = out[lo : hi - hi % 2].reshape(-1, 2)
+    np.testing.assert_allclose(frames[:, 0], 0.3, atol=EPSILON)
+    np.testing.assert_allclose(frames[:, 1], 0.6, atol=EPSILON)
+
+
+@pytest.mark.parametrize("in_rate,out_rate", RATE_PAIRS[:3])
+def test_matmul_matches_fft_backend(in_rate, out_rate):
+    """The fused MXU projection equals the op-for-op jnp.fft dataflow."""
+    rng = np.random.default_rng(7)
+    a = ResamplerFft(1, in_rate, out_rate, backend="matmul")
+    b = ResamplerFft(1, in_rate, out_rate, backend="fft")
+    out_a = np.zeros(a.chunk_size_output(), np.float32)
+    out_b = np.zeros(b.chunk_size_output(), np.float32)
+    for _ in range(3):
+        x = rng.standard_normal(a.chunk_size_input()).astype(np.float32)
+        a.resample(x, out_a)
+        b.resample(x, out_b)
+        np.testing.assert_allclose(out_a, out_b, atol=2e-4)
+
+
+def test_projection_matrix_identity_impulse():
+    """Same-rate conversion: a unit impulse comes back delayed by exactly
+    N/2 with peak equal to the filter's passband gain (the Kaiser cutoff,
+    since the lowpass removes the 1-cutoff band edge)."""
+    from resampler_tpu.dsp.window import calculate_cutoff_kaiser
+
+    r = ResamplerFft(1, SampleRate.Hz48000, SampleRate.Hz48000)
+    n = r.chunk_size_input()
+    x = np.zeros(n, np.float32)
+    x[n // 3] = 1.0
+    out = np.zeros(r.chunk_size_output(), np.float32)
+    r.resample(x, out)
+    first = out.copy()
+    r.resample(np.zeros_like(x), out)
+    total = np.concatenate([first, out])
+    peak_idx = int(np.argmax(np.abs(total)))
+    assert peak_idx == n // 3 + r.delay()
+    expected_peak = calculate_cutoff_kaiser(n, 10.0)
+    assert abs(total[peak_idx] - expected_peak) < 1e-3
+    # energy concentrated at the peak (sinc sidelobes below 0.05)
+    assert np.sum(np.abs(total) > 0.05) <= 3
+
+
+def test_stopband_attenuation_fft():
+    """Impulse response stopband >= 99 dB (reference README claims
+    ~-100 dB for Kaiser beta=10, reference: README.md:84)."""
+    in_rate, out_rate = SampleRate.Hz22050, SampleRate.Hz48000
+    r = ResamplerFft(1, in_rate, out_rate)
+    ci = r.chunk_size_input()
+    x = np.zeros(20 * ci, np.float32)
+    x[len(x) // 2] = 1.0
+    y = r.process(x)
+
+    peak = int(np.argmax(np.abs(y)))
+    window = int(int(out_rate) * 0.1)
+    start = max(peak - window // 2, 0)
+    ir = y[start : start + window]
+    spec = np.fft.rfft(ir, 1 << 17)
+    mag_db = 20 * np.log10(np.maximum(np.abs(spec), 1e-12))
+    out_hz = int(out_rate)
+    fft_size = 1 << 17
+
+    def bin_of(freq):
+        return round(freq / out_hz * fft_size)
+
+    nyq_in = int(in_rate) / 2
+    passband = mag_db[bin_of(20.0) : bin_of(nyq_in * 0.9) + 1]
+    stopband = mag_db[bin_of(nyq_in * 1.1) : bin_of(out_hz / 2 * 0.95) + 1]
+    atten = passband.max() - stopband.max()
+    assert atten >= 99.0, f"FFT stopband attenuation too low: {atten:.2f} dB"
+
+
+def test_chunk_sizes_and_delay():
+    r = ResamplerFft(2, SampleRate.Hz44100, SampleRate.Hz48000)
+    assert r.chunk_size_input() == 1176 * 2
+    assert r.chunk_size_output() == 1280 * 2
+    assert r.delay() == 1176 // 2
+    r = ResamplerFft(1, SampleRate.Hz48000, SampleRate.Hz96000)
+    assert (r.chunk_size_input(), r.chunk_size_output()) == (512, 1024)
+
+
+def test_invalid_buffers():
+    r = ResamplerFft(2, SampleRate.Hz48000, SampleRate.Hz44100)
+    out = np.zeros(r.chunk_size_output(), np.float32)
+    with pytest.raises(InvalidInputBufferSize):
+        r.resample(np.zeros(r.chunk_size_input() - 1, np.float32), out)
+    with pytest.raises(InvalidOutputBufferSize):
+        r.resample(
+            np.zeros(r.chunk_size_input(), np.float32),
+            np.zeros(r.chunk_size_output() - 1, np.float32),
+        )
+
+
+def test_process_length():
+    """Batch helper output length: ceil(in_len * co / ci)
+    (reference: resample/src/main.rs:307-310)."""
+    r = ResamplerFft(2, SampleRate.Hz44100, SampleRate.Hz48000)
+    x = np.zeros(10_000, np.float32)
+    y = r.process(x)
+    expected = -(-x.size * r.chunk_size_output() // r.chunk_size_input())
+    assert y.size == expected
+
+
+def test_projection_matrix_is_cached():
+    from resampler_tpu.engine.fft import get_projection_matrix
+
+    a = get_projection_matrix(1176, 1280)
+    b = get_projection_matrix(1176, 1280)
+    assert a is b
+    assert a.shape == (1176, 2 * 1280)
+    assert a.dtype == np.float32
+
+
+def test_overlap_state_checkpoint():
+    rng = np.random.default_rng(5)
+    a = ResamplerFft(1, SampleRate.Hz48000, SampleRate.Hz44100)
+    x1 = rng.standard_normal(a.chunk_size_input()).astype(np.float32)
+    x2 = rng.standard_normal(a.chunk_size_input()).astype(np.float32)
+    out = np.zeros(a.chunk_size_output(), np.float32)
+    a.resample(x1, out)
+    saved = {k: np.asarray(v).copy() for k, v in a.state.items()}
+    a.resample(x2, out)
+    ref = out.copy()
+
+    import jax.numpy as jnp
+
+    b = ResamplerFft(1, SampleRate.Hz48000, SampleRate.Hz44100)
+    b.state = {k: jnp.asarray(v) for k, v in saved.items()}
+    out2 = np.zeros(b.chunk_size_output(), np.float32)
+    b.resample(x2, out2)
+    np.testing.assert_array_equal(ref, out2)
