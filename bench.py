@@ -7,8 +7,11 @@ benches/benchmark_resampler_fft.rs:23-87; FIR config Latency::Sample64 +
 Db90).  Reference numbers (BASELINE.md, AMD Ryzen 9 9950X3D):
 FIR ~137 Msamples/s, FFT ~258 Msamples/s (midpoints of published ranges).
 
-TPU throughput comes from batching independent streams; the per-stream
+TPU throughput comes from batching independent streams; per-stream
 semantics are identical to the single-stream engines (tested in tests/).
+Each timed dispatch scans SCAN_LEN chunks inside one jit program so
+host->device dispatch latency (large under a remote-TPU tunnel) is
+amortized the way a production pipeline would.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,8 +24,10 @@ import numpy as np
 FIR_BASELINE_MSPS = 137.0  # CHANGELOG.md:77 midpoint (503-540 MiB/s)
 FFT_BASELINE_MSPS = 258.0  # CHANGELOG.md:75-76 midpoint (780-1192 MiB/s)
 
+SCAN_LEN = 20  # chunks per dispatch
 
-def bench_fir(steps=30, warmup=5, n_streams=64, chunk_frames=4096):
+
+def bench_fir(dispatches=5, warmup=2, n_streams=128, chunk_frames=4096):
     import jax
     import jax.numpy as jnp
 
@@ -42,8 +47,17 @@ def bench_fir(steps=30, warmup=5, n_streams=64, chunk_frames=4096):
     )
     step = fir_engine.make_fir_step(cfg, coeffs)
 
-    def fleet(state, chunks, n_valid, budget):
-        return jax.vmap(step)(state, chunks, n_valid, budget)
+    n_valid = jnp.full((n_streams,), chunk_frames, jnp.int32)
+    budget = jnp.full((n_streams,), cfg.out_capacity, jnp.int32)
+
+    def fleet(state, chunks):
+        def body(st, _):
+            st, out, consumed, produced = jax.vmap(
+                step, in_axes=(0, 0, 0, 0)
+            )(st, chunks, n_valid, budget)
+            return st, jnp.sum(produced)
+        state, produced = jax.lax.scan(body, state, None, length=SCAN_LEN)
+        return state, jnp.sum(produced)
 
     fleet = jax.jit(fleet, donate_argnums=0)
 
@@ -52,25 +66,21 @@ def bench_fir(steps=30, warmup=5, n_streams=64, chunk_frames=4096):
     chunks = jnp.asarray(
         rng.standard_normal((n_streams, chunk_frames, C)), jnp.float32
     )
-    n_valid = jnp.full((n_streams,), chunk_frames, jnp.int32)
-    budget = jnp.full((n_streams,), cfg.out_capacity, jnp.int32)
 
+    for _ in range(warmup):
+        state, produced = fleet(state, chunks)
+    jax.block_until_ready(produced)
     produced_total = 0
-    for i in range(warmup):
-        state, out, consumed, produced = fleet(state, chunks, n_valid, budget)
-    jax.block_until_ready((state, out))
     t0 = time.perf_counter()
-    for i in range(steps):
-        state, out, consumed, produced = fleet(state, chunks, n_valid, budget)
-        produced_total_arr = produced  # accumulate on host at the end
-        produced_total += int(jnp.sum(produced_total_arr))
-    jax.block_until_ready((state, out))
+    for _ in range(dispatches):
+        state, produced = fleet(state, chunks)
+        produced_total += int(produced)
+    jax.block_until_ready(produced)
     dt = time.perf_counter() - t0
-    samples = produced_total * C  # total interleaved f32 output values
-    return samples / dt / 1e6
+    return produced_total * C / dt / 1e6
 
 
-def bench_fft(steps=50, warmup=5, n_streams=256):
+def bench_fft(dispatches=5, warmup=2, n_streams=512):
     import jax
     import jax.numpy as jnp
 
@@ -83,7 +93,11 @@ def bench_fft(steps=50, warmup=5, n_streams=256):
     step = fft_engine.make_fft_step(cfg)
 
     def fleet(state, chunks):
-        return jax.vmap(step)(state, chunks)
+        def body(st, _):
+            st, out = jax.vmap(step)(st, chunks)
+            return st, jnp.max(jnp.abs(out))
+        state, peaks = jax.lax.scan(body, state, None, length=SCAN_LEN)
+        return state, jnp.max(peaks)
 
     fleet = jax.jit(fleet, donate_argnums=0)
 
@@ -94,14 +108,14 @@ def bench_fft(steps=50, warmup=5, n_streams=256):
     )
 
     for _ in range(warmup):
-        state, out = fleet(state, chunks)
-    jax.block_until_ready((state, out))
+        state, peak = fleet(state, chunks)
+    jax.block_until_ready(peak)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, out = fleet(state, chunks)
-    jax.block_until_ready((state, out))
+    for _ in range(dispatches):
+        state, peak = fleet(state, chunks)
+    jax.block_until_ready(peak)
     dt = time.perf_counter() - t0
-    samples = steps * n_streams * C * cfg.fft_size_output
+    samples = dispatches * SCAN_LEN * n_streams * C * cfg.fft_size_output
     return samples / dt / 1e6
 
 

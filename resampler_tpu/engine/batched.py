@@ -49,7 +49,7 @@ class BatchedResamplerFir:
         attenuation: Attenuation = Attenuation.Db120,
         *,
         mesh=None,
-        use_pallas: bool | None = None,
+        path: str = "auto",
     ) -> None:
         L, M = reduce_ratio(int(input_rate), int(output_rate))
         self._config = fir_engine.FirConfig(
@@ -60,11 +60,7 @@ class BatchedResamplerFir:
             latency.taps, attenuation, int(input_rate) / int(output_rate)
         )
         coeffs = fir_engine.fir_coefficients(latency.taps, attenuation, cutoff)
-        if use_pallas is None:
-            use_pallas = fir_engine._default_use_pallas()
-        step = fir_engine.make_fir_step(
-            self._config, coeffs, use_pallas=use_pallas
-        )
+        step = fir_engine.make_fir_step(self._config, coeffs, path=path)
         self._mesh = mesh
 
         def batched_step(state, chunks, n_valid, out_budget):

@@ -179,58 +179,173 @@ def fir_coefficients(
 # --------------------------------------------------------------------------
 
 
-def _schedule(config: FirConfig, pos_num, avail, out_budget):
-    """Vectorized per-chunk output schedule.
-
-    Returns ``(n_out, offsets[i], phase1[i], phase2[i], frac[i])`` for
-    ``i in [0, out_capacity)`` with lanes ``i >= n_out`` clamped to the last
-    valid position (so downstream gathers stay in range).
+def _compute_n_out(config: FirConfig, pos_num, avail, out_budget):
+    """Number of output frames producible this call: the largest ``n`` with
+    ``pos_num + (n-1)*L < (avail - taps + 1) * M``, capped by the caller's
+    output budget (reference loop guard: src/resampler_fir.rs:544-554).
 
     Overflow analysis (all int32): with ``M = ratio_den <= 500_000`` and
     ``L = ratio_num <= 2^31/(capacity+2)``:
-    ``(avail - taps + 1) * M <= (capacity+1) * M < 2^31`` and every
-    ``num_i = pos_num + i_eff * L <= (avail - taps + 1) * M + L < 2^31``
-    because lanes are clamped to ``i_eff <= n_out``; ``rem * phases <=
-    (M-1) * 1024 < 2^31``.
+    ``(avail - taps + 1) * M <= (capacity+1) * M < 2^31``; every scheduled
+    numerator ``pos_num + i*L`` for emitted lanes stays below the same
+    bound; ``rem * phases <= (M-1) * 1024 < 2^31``.
+    """
+    L = jnp.int32(config.ratio_num)
+    M = jnp.int32(config.ratio_den)
+    limit = (avail - config.taps + 1) * M - pos_num
+    n_from_input = jnp.where(limit > 0, (limit + L - 1) // L, 0)
+    return jnp.clip(n_from_input, 0, out_budget).astype(jnp.int32)
+
+
+def _phase_blend(table, rem, M):
+    """Blend the two neighboring phase rows for residues ``rem`` (in units
+    of 1/M): ``phase_f = rem*PHASES/M``, rows ``floor(phase_f)`` and
+    ``min(floor+1, PHASES-1)``, lerp by the fractional part — the same
+    arithmetic as the reference kernels
+    (reference: src/resampler_fir.rs:557-565, src/fir/mod.rs:18-45)."""
+    phases = table.shape[0]
+    pf = rem * phases
+    p1 = pf // M
+    p2 = jnp.minimum(p1 + 1, phases - 1)
+    frac = (pf - p1 * M).astype(jnp.float32) / jnp.float32(M)
+    return (1.0 - frac)[:, None] * table[p1] + frac[:, None] * table[p2]
+
+
+def _convolve_gather(config: FirConfig, coeffs):
+    """General-rate path: per-lane schedule + window gather + contraction.
+
+    Materializes ``[C, out_capacity, taps]`` gathered windows — correct for
+    any reduced ratio, but HBM-heavy; the periodic path below is preferred
+    whenever the ratio denominator is small.
     """
     L = jnp.int32(config.ratio_num)
     M = jnp.int32(config.ratio_den)
     taps = config.taps
-    phases = jnp.int32(config.phases)
 
-    # Largest n with pos_num + (n-1)*L < (avail - taps + 1) * M.
-    limit = (avail - taps + 1) * M - pos_num
-    n_from_input = jnp.where(limit > 0, (limit + L - 1) // L, 0)
-    n_out = jnp.clip(n_from_input, 0, out_budget).astype(jnp.int32)
+    def convolve(buffer, read_pos, pos_num, n_out):
+        i = jnp.arange(config.out_capacity, dtype=jnp.int32)
+        i_eff = jnp.minimum(i, jnp.maximum(n_out - 1, 0))
+        num = pos_num + i_eff * L
+        offset = num // M
+        rem = num - offset * M
+        w = _phase_blend(coeffs, rem, M)  # [N, taps]
+        idx = (
+            read_pos
+            + offset[:, None]
+            + jnp.arange(taps, dtype=jnp.int32)[None, :]
+        )
+        x = jnp.take(buffer, idx, axis=1, mode="clip")  # [C, N, taps]
+        return jnp.einsum(
+            "cnt,nt->nc", x, w, preferred_element_type=jnp.float32
+        )
 
-    i = jnp.arange(config.out_capacity, dtype=jnp.int32)
-    i_eff = jnp.minimum(i, jnp.maximum(n_out - 1, 0))
-    num = pos_num + i_eff * L
-    offset = num // M
-    rem = num - offset * M
-    pf = rem * phases  # phase_f numerator, units of 1/M
-    phase1 = pf // M
-    phase2 = jnp.minimum(phase1 + 1, phases - 1)
-    frac = (pf - phase1 * M).astype(jnp.float32) / M.astype(jnp.float32)
-    return n_out, offset, phase1, phase2, frac
+    return convolve
 
 
-def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, use_pallas: bool = False):
+#: Periodic-path limits: the banded matrix is [M, L + taps + 1]; keep both
+#: dimensions MXU-friendly.  All SampleRate-enum pairs reduce to M <= 640.
+MAX_PERIOD = 2048
+MAX_BAND_SPAN = 8192
+
+
+def _convolve_periodic(config: FirConfig, coeffs):
+    """Small-denominator fast path: **resampling as one banded matmul**.
+
+    For ratio ``L/M`` in lowest terms the polyphase schedule is periodic
+    with period ``M`` outputs per ``L`` inputs.  Writing output index
+    ``i = k*M + j``: ``num_i = pos_num + k*L*M + j*L``, so
+    ``offset_i = d_min + k*L + d_j`` with ``d_j = (pos_num + j*L)//M - d_min``
+    bounded by ``L`` — every period-``k`` block reads the input segment
+    ``seg_k = buffer[:, read_pos + d_min + k*L : + span]``,
+    ``span = L + taps + 1``, and
+
+        out[k*M + j, c] = sum_s A[j, s] * seg_k[c, s]
+
+    where ``A[j, s] = W[j, s - d_j]`` is the blended phase row ``W[j]``
+    (identical arithmetic to the reference kernels) banded into a
+    ``[M, span]`` matrix.  One ``[M, span] @ [span, K*C]`` matmul per chunk
+    on the MXU replaces the reference's per-output SIMD dot loop
+    (reference: src/resampler_fir.rs:542-590) — no gather of overlapping
+    windows, ~(L+taps)/taps arithmetic overhead over the theoretical
+    minimum, and HBM traffic of just the segments.
+    """
+    L = config.ratio_num
+    M = config.ratio_den
+    taps = config.taps
+    C = config.channels
+    span = L + taps + 1
+    K = -(-config.out_capacity // M)  # period blocks per call
+
+    t_axis = jnp.arange(taps, dtype=jnp.int32)
+    s_axis = jnp.arange(span, dtype=jnp.int32)
+    j_axis = jnp.arange(M, dtype=jnp.int32)
+    k_axis = jnp.arange(K, dtype=jnp.int32)
+
+    def convolve(buffer, read_pos, pos_num, n_out):
+        num_j = pos_num + j_axis * jnp.int32(L)
+        d = num_j // jnp.int32(M)
+        rem = num_j - d * jnp.int32(M)
+        d_min = pos_num // jnp.int32(M)
+        d = d - d_min  # in [0, L]
+
+        w = _phase_blend(coeffs, rem, jnp.int32(M))  # [M, taps]
+        # Band placement: A[j, s] = W[j, s - d_j] for s-d_j in [0, taps).
+        t_idx = s_axis[None, :] - d[:, None]
+        valid = (t_idx >= 0) & (t_idx < taps)
+        a = jnp.where(
+            valid,
+            jnp.take_along_axis(
+                w, jnp.clip(t_idx, 0, taps - 1), axis=1
+            ),
+            0.0,
+        )  # [M, span]
+
+        base = read_pos + d_min
+
+        def seg(k):
+            return jax.lax.dynamic_slice(
+                buffer, (0, base + k * jnp.int32(L)), (C, span)
+            )
+
+        segs = jax.vmap(seg)(k_axis)  # [K, C, span]
+        out = jnp.einsum(
+            "js,kcs->kjc", a, segs, preferred_element_type=jnp.float32
+        )
+        return out.reshape(K * M, C)[: config.out_capacity]
+
+    return convolve
+
+
+def resolve_convolve_path(config: FirConfig, path: str = "auto") -> str:
+    """Pick the convolution strategy: the periodic banded matmul whenever
+    the schedule period fits on chip, else the general gather path."""
+    if path != "auto":
+        return path
+    span = config.ratio_num + config.taps + 1
+    if config.ratio_den <= MAX_PERIOD and span <= MAX_BAND_SPAN:
+        return "periodic"
+    return "gather"
+
+
+def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
     """Build the pure chunk-step function for ``config``.
 
     ``step(state, chunk_frames [n, C] f32, n_valid, out_budget) ->
     (state', out_frames [out_capacity, C] f32, consumed, produced)``
     with frames counted per channel.  Jit-compatible; shapes static per
-    input bucket.
+    input bucket.  ``path``: "auto" | "periodic" | "gather".
     """
     coeffs = jnp.asarray(coeffs, jnp.float32)
     assert coeffs.shape == (config.phases, config.taps)
     C = config.channels
 
-    if use_pallas:
-        from ..ops.fir_kernel import polyphase_convolve_pallas as _convolve
+    path = resolve_convolve_path(config, path)
+    if path == "periodic":
+        _convolve = _convolve_periodic(config, coeffs)
+    elif path == "gather":
+        _convolve = _convolve_gather(config, coeffs)
     else:
-        _convolve = polyphase_convolve_jnp
+        raise ValueError(f"unknown convolve path {path!r}")
 
     def step(state: FirState, chunk, n_valid, out_budget):
         chunk = chunk.astype(jnp.float32)
@@ -257,14 +372,10 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, use_pallas: bool = F
         avail = avail + to_copy
 
         # ---- schedule (reference hot loop: src/resampler_fir.rs:542-565) ----
-        n_out, offset, phase1, phase2, frac = _schedule(
-            config, pos_num, avail, out_budget
-        )
+        n_out = _compute_n_out(config, pos_num, avail, out_budget)
 
         # ---- polyphase convolution ----
-        out = _convolve(
-            buffer, read_pos, offset, phase1, phase2, frac, coeffs
-        )  # [out_capacity, C]
+        out = _convolve(buffer, read_pos, pos_num, n_out)  # [out_capacity, C]
         lane = jnp.arange(config.out_capacity, dtype=jnp.int32)
         out = jnp.where((lane < n_out)[:, None], out, 0.0)
 
@@ -293,26 +404,6 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, use_pallas: bool = F
         return new_state, out, to_copy, n_out
 
     return step
-
-
-def polyphase_convolve_jnp(buffer, read_pos, offset, phase1, phase2, frac, table):
-    """Pure-jnp polyphase convolution: gather input windows + blended-row
-    contraction.  Semantics identical to the reference SIMD kernels
-    (reference: src/fir/mod.rs:18-45, src/fir/avx.rs:14-61): the two phase
-    rows are linearly interpolated and dotted against ``taps`` input samples
-    per output frame; interpolating the rows before the dot equals
-    interpolating the two dot products.
-
-    - ``buffer``: ``[C, buffer_alloc]`` ring buffer
-    - ``offset/phase1/phase2/frac``: ``[N]`` schedule arrays
-    - ``table``: ``[PHASES, taps]`` coefficients
-    Returns ``[N, C]`` output frames.
-    """
-    taps = table.shape[1]
-    idx = read_pos + offset[:, None] + jnp.arange(taps, dtype=jnp.int32)[None, :]
-    x = jnp.take(buffer, idx, axis=1, mode="clip")  # [C, N, taps]
-    w = (1.0 - frac)[:, None] * table[phase1] + frac[:, None] * table[phase2]
-    return jnp.einsum("cnt,nt->nc", x, w, preferred_element_type=jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -357,7 +448,7 @@ class ResamplerFir:
         latency: Latency = Latency.Sample64,
         attenuation: Attenuation = Attenuation.Db120,
         *,
-        use_pallas: bool | None = None,
+        path: str = "auto",
     ) -> None:
         input_hz = int(input_rate)
         output_hz = int(output_rate)
@@ -372,10 +463,8 @@ class ResamplerFir:
         ratio = input_hz / output_hz
         cutoff = fir_cutoff(latency.taps, attenuation, ratio)
         self._coeffs = fir_coefficients(latency.taps, attenuation, cutoff)
-        if use_pallas is None:
-            use_pallas = _default_use_pallas()
         self._step = jax.jit(
-            make_fir_step(self._config, self._coeffs, use_pallas=use_pallas),
+            make_fir_step(self._config, self._coeffs, path=path),
             donate_argnums=0,
         )
         self._state = fir_init(self._config)
@@ -491,9 +580,3 @@ class ResamplerFir:
         )
 
 
-def _default_use_pallas() -> bool:
-    """Pallas kernels are enabled by default on TPU backends only."""
-    # TODO(pallas): flip to `jax.default_backend() == "tpu"` once the fused
-    # Pallas polyphase kernel (ops/fir_kernel.py) lands and is benchmarked
-    # against the XLA gather+contraction path.
-    return False

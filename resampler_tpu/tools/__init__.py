@@ -1,0 +1,3 @@
+from .interpolation import InterpolationMode, InterpolationResampler
+
+__all__ = ["InterpolationMode", "InterpolationResampler"]

@@ -34,6 +34,9 @@ def run_stream(resampler, x, chunk=512):
         (16000, 192000, Latency.Sample8),
         (24000, 16000, Latency.Sample32),
         (44100, 44100, Latency.Sample64),
+        # coprime pair: huge reduced denominator -> exercises the general
+        # gather path (the others use the periodic banded-matmul path)
+        (44100, 44101, Latency.Sample16),
     ],
 )
 def test_differential_vs_scalar_model(in_hz, out_hz, latency):
@@ -89,6 +92,19 @@ def test_stream_invariance():
         n = min(y.size, outs[0].size)
         assert n > 0
         np.testing.assert_array_equal(y[:n], outs[0][:n])
+
+
+def test_periodic_and_gather_paths_agree():
+    """The banded-matmul fast path and the general gather path compute the
+    same convolution (up to f32 summation order)."""
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(2 * 5000).astype(np.float32)
+    a = ResamplerFir(2, 44100, 48000, Latency.Sample64, path="periodic")
+    b = ResamplerFir(2, 44100, 48000, Latency.Sample64, path="gather")
+    ya = run_stream(a, x)
+    yb = run_stream(b, x)
+    assert ya.size == yb.size
+    np.testing.assert_allclose(ya, yb, atol=1e-5)
 
 
 def _measure_stopband_attenuation(in_rate, out_rate):
