@@ -55,9 +55,14 @@ def bench_fir(dispatches=5, warmup=2, n_streams=128, chunk_frames=4096):
             st, out, consumed, produced = jax.vmap(
                 step, in_axes=(0, 0, 0, 0)
             )(st, chunks, n_valid, budget)
-            return st, jnp.sum(produced)
-        state, produced = jax.lax.scan(body, state, None, length=SCAN_LEN)
-        return state, jnp.sum(produced)
+            # Reduce over the outputs so XLA cannot dead-code-eliminate the
+            # convolution itself (produced alone only depends on the
+            # schedule); the checksum also mimics a downstream consumer.
+            return st, (jnp.sum(produced), jnp.max(jnp.abs(out)))
+        state, (produced, peaks) = jax.lax.scan(
+            body, state, None, length=SCAN_LEN
+        )
+        return state, jnp.sum(produced), jnp.max(peaks)
 
     fleet = jax.jit(fleet, donate_argnums=0)
 
@@ -68,14 +73,14 @@ def bench_fir(dispatches=5, warmup=2, n_streams=128, chunk_frames=4096):
     )
 
     for _ in range(warmup):
-        state, produced = fleet(state, chunks)
-    jax.block_until_ready(produced)
+        state, produced, peak = fleet(state, chunks)
+    jax.block_until_ready(peak)
     produced_total = 0
     t0 = time.perf_counter()
     for _ in range(dispatches):
-        state, produced = fleet(state, chunks)
+        state, produced, peak = fleet(state, chunks)
         produced_total += int(produced)
-    jax.block_until_ready(produced)
+    jax.block_until_ready(peak)
     dt = time.perf_counter() - t0
     return produced_total * C / dt / 1e6
 

@@ -29,12 +29,27 @@ class WavInfo:
     sample_format: str  # "int" | "float"
 
 
-def read_wav(path) -> tuple[np.ndarray, WavInfo]:
+def read_wav(path, *, prefer_native: bool = True) -> tuple[np.ndarray, WavInfo]:
     """Read a WAV file.
 
     Returns ``(samples, info)`` where ``samples`` is interleaved float32
-    in [-1, 1] (ints normalized by ``2^(bits-1)``).
+    in [-1, 1] (ints normalized by ``2^(bits-1)``).  Uses the native C++
+    decoder (csrc/resampler_host.cpp) when built; numpy fallback otherwise
+    (both are differentially tested in tests/test_native.py).
     """
+    if prefer_native:
+        from . import native
+
+        if native.is_available():
+            try:
+                samples, rate, channels, bits, fmt = native.wav_read_native(
+                    path
+                )
+            except ValueError:
+                pass  # unsupported variant: fall through to python decoder
+            else:
+                return samples, WavInfo(rate, channels, bits, fmt)
+
     with open(path, "rb") as f:
         data = f.read()
 
