@@ -101,9 +101,11 @@ class FirConfig:
 
     @property
     def buffer_alloc(self) -> int:
-        # BUFFER_SIZE plus slack so a full MAX_CHUNK write at
-        # write_position == BUFFER_SIZE never clamps.
-        return BUFFER_SIZE + MAX_CHUNK
+        # BUFFER_SIZE plus slack so (a) a full MAX_CHUNK write at
+        # write_position == BUFFER_SIZE never clamps and (b) the periodic
+        # path's single contiguous span read (up to ~INPUT_CAPACITY + span
+        # past read_position <= BUFFER_SIZE) never clamps.
+        return BUFFER_SIZE + 2 * MAX_CHUNK
 
     @property
     def out_capacity(self) -> int:
@@ -242,10 +244,11 @@ def _convolve_gather(config: FirConfig, coeffs):
     return convolve
 
 
-#: Periodic-path limits: the banded matrix is [M, L + taps + 1]; keep both
-#: dimensions MXU-friendly.  All SampleRate-enum pairs reduce to M <= 640.
+#: Periodic-path limits: the banded matrix is [M, L + taps + 1] and the
+#: contiguous span read must fit the buffer slack.  All SampleRate-enum
+#: pairs reduce to M <= 640, L <= 640.
 MAX_PERIOD = 2048
-MAX_BAND_SPAN = 8192
+MAX_PERIOD_L = 4000
 
 
 def _convolve_periodic(config: FirConfig, coeffs):
@@ -302,16 +305,26 @@ def _convolve_periodic(config: FirConfig, coeffs):
 
         base = read_pos + d_min
 
-        def seg(k):
-            return jax.lax.dynamic_slice(
-                buffer, (0, base + k * jnp.int32(L)), (C, span)
-            )
-
-        segs = jax.vmap(seg)(k_axis)  # [K, C, span]
-        out = jnp.einsum(
-            "js,kcs->kjc", a, segs, preferred_element_type=jnp.float32
+        # ONE contiguous dynamic slice for the whole span (per-block
+        # dynamic slices would lower to an element-granularity TPU gather,
+        # observed ~50x slower), then the block structure
+        #   out[k*M + j, c] = sum_s A[j, s] * region[c, k*L + s]
+        # is exactly a stride-L 1-D cross-correlation of the region with
+        # the M banded kernels — one lax.conv op, which XLA maps onto the
+        # MXU (polyphase resampling as strided convolution).
+        region = jax.lax.dynamic_slice(
+            buffer, (0, base), (C, (K - 1) * L + span)
         )
-        return out.reshape(K * M, C)[: config.out_capacity]
+        out = jax.lax.conv_general_dilated(
+            region[:, None, :],            # [C, 1, total]   (N, C_in, W)
+            a[:, None, :],                 # [M, 1, span]    (O, I, W)
+            window_strides=(L,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+        )  # [C, M, K]
+        out = jnp.transpose(out, (2, 1, 0)).reshape(K * M, C)
+        return out[: config.out_capacity]
 
     return convolve
 
@@ -321,8 +334,7 @@ def resolve_convolve_path(config: FirConfig, path: str = "auto") -> str:
     the schedule period fits on chip, else the general gather path."""
     if path != "auto":
         return path
-    span = config.ratio_num + config.taps + 1
-    if config.ratio_den <= MAX_PERIOD and span <= MAX_BAND_SPAN:
+    if config.ratio_den <= MAX_PERIOD and config.ratio_num <= MAX_PERIOD_L:
         return "periodic"
     return "gather"
 
@@ -387,13 +399,22 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
         pos_num = pos_after - consumed * jnp.int32(config.ratio_den)
 
         # ---- compaction (reference: src/resampler_fir.rs:605-615) ----
-        buffer, read_pos = jax.lax.cond(
-            read_pos > INPUT_CAPACITY,
-            lambda b, r: (jnp.roll(b, -r, axis=1), jnp.int32(0)),
-            lambda b, r: (b, r),
-            buffer,
-            read_pos,
+        # Shift by the STATIC amount INPUT_CAPACITY when read_position
+        # exceeds it (read_position <= 2*INPUT_CAPACITY always, so one
+        # static shift restores the invariant).  A dynamic-amount roll
+        # would lower to an element-granularity TPU gather (~50x slower),
+        # and under vmap a lax.cond becomes a select that evaluates both
+        # branches anyway — so this is an unconditional static copy + select.
+        do_compact = read_pos > INPUT_CAPACITY
+        shifted = jnp.concatenate(
+            [
+                buffer[:, INPUT_CAPACITY:],
+                jnp.zeros((C, INPUT_CAPACITY), jnp.float32),
+            ],
+            axis=1,
         )
+        buffer = jnp.where(do_compact, shifted, buffer)
+        read_pos = jnp.where(do_compact, read_pos - INPUT_CAPACITY, read_pos)
 
         new_state = FirState(
             buffer=buffer,

@@ -39,8 +39,10 @@ def test_batched_fir_matches_single_stream():
         c, p = single.resample(chunks[b].reshape(-1), buf)
         assert c == int(consumed[b]) * C
         assert p == int(produced[b]) * C
-        np.testing.assert_array_equal(
-            buf[:p], out[b, : int(produced[b])].reshape(-1)
+        # vmapped and single-stream programs compile separately; the conv
+        # accumulation order may differ by ~1 ulp
+        np.testing.assert_allclose(
+            buf[:p], out[b, : int(produced[b])].reshape(-1), atol=2e-6
         )
     assert float(peak) == pytest.approx(float(np.abs(out).max()))
 

@@ -91,7 +91,9 @@ def test_stream_invariance():
     for y in outs[1:]:
         n = min(y.size, outs[0].size)
         assert n > 0
-        np.testing.assert_array_equal(y[:n], outs[0][:n])
+        # different chunk sizes compile different programs; XLA may order
+        # the conv accumulation differently (~1 ulp)
+        np.testing.assert_allclose(y[:n], outs[0][:n], atol=2e-6)
 
 
 def test_periodic_and_gather_paths_agree():
