@@ -244,33 +244,40 @@ def _convolve_gather(config: FirConfig, coeffs):
     return convolve
 
 
-#: Periodic-path limits: the banded matrix is [M, L + taps + 1] and the
-#: contiguous span read must fit the buffer slack.  All SampleRate-enum
-#: pairs reduce to M <= 640, L <= 640.
+#: Periodic-path limits: the banded kernel atlas is [2M, 2L + taps + 1]
+#: and the contiguous span read must fit the buffer slack.  All
+#: SampleRate-enum pairs reduce to M <= 640, L <= 640 (atlas <= ~3 MB).
 MAX_PERIOD = 2048
 MAX_PERIOD_L = 4000
+MAX_ATLAS_BYTES = 32 << 20
 
 
 def _convolve_periodic(config: FirConfig, coeffs):
-    """Small-denominator fast path: **resampling as one banded matmul**.
+    """Small-denominator fast path: **resampling as a strided convolution
+    with a precomputed banded kernel atlas** — zero dynamic gathers.
 
     For ratio ``L/M`` in lowest terms the polyphase schedule is periodic
     with period ``M`` outputs per ``L`` inputs.  Writing output index
-    ``i = k*M + j``: ``num_i = pos_num + k*L*M + j*L``, so
-    ``offset_i = d_min + k*L + d_j`` with ``d_j = (pos_num + j*L)//M - d_min``
-    bounded by ``L`` — every period-``k`` block reads the input segment
-    ``seg_k = buffer[:, read_pos + d_min + k*L : + span]``,
-    ``span = L + taps + 1``, and
+    ``i = k*M + j`` with chunk residue ``r = pos_num mod M``:
+    ``offset_i = d_min + k*L + d_j`` where ``d_j = (r + j*L)//M <= L``, so
+    every period-``k`` block reads a contiguous input segment and
 
-        out[k*M + j, c] = sum_s A[j, s] * seg_k[c, s]
+        out[k*M + j, c] = sum_s A(r)[j, s] * region[c, k*L + s]
 
-    where ``A[j, s] = W[j, s - d_j]`` is the blended phase row ``W[j]``
-    (identical arithmetic to the reference kernels) banded into a
-    ``[M, span]`` matrix.  One ``[M, span] @ [span, K*C]`` matmul per chunk
-    on the MXU replaces the reference's per-output SIMD dot loop
-    (reference: src/resampler_fir.rs:542-590) — no gather of overlapping
-    windows, ~(L+taps)/taps arithmetic overhead over the theoretical
-    minimum, and HBM traffic of just the segments.
+    — a stride-``L`` cross-correlation (one MXU ``lax.conv``) with the
+    banded kernel matrix ``A(r)[j, s] = W[rem_j][s - d_j]``, ``W[rho]``
+    being the blended phase row for residue ``rho`` (identical arithmetic
+    to the reference kernels, reference: src/resampler_fir.rs:542-590,
+    src/fir/avx.rs:14-61).
+
+    The crucial trick: because ``gcd(L, M) = 1``, residue ``r`` equals the
+    canonical phase ``i0 = r * L^{-1} mod M`` of the infinite periodic
+    schedule, so ``A(r)`` is a CONTIGUOUS ``[M, span]`` window — rows
+    ``i0..i0+M``, columns ``(i0*L)//M..+span`` — of one static doubled
+    master matrix ``A2[i, s] = W[(i*L)%M][s - (i*L)//M]`` of shape
+    ``[2M, 2L+taps+1]`` precomputed at trace time.  Per chunk the banding
+    is ONE ``dynamic_slice`` (dynamic-index gathers run at element
+    granularity on TPU, ~50x slower — measured).
     """
     L = config.ratio_num
     M = config.ratio_den
@@ -279,29 +286,30 @@ def _convolve_periodic(config: FirConfig, coeffs):
     span = L + taps + 1
     K = -(-config.out_capacity // M)  # period blocks per call
 
-    t_axis = jnp.arange(taps, dtype=jnp.int32)
-    s_axis = jnp.arange(span, dtype=jnp.int32)
-    j_axis = jnp.arange(M, dtype=jnp.int32)
-    k_axis = jnp.arange(K, dtype=jnp.int32)
+    # --- static banded kernel atlas (numpy, trace time) ---
+    table = np.asarray(coeffs, np.float32)
+    rho = np.arange(M, dtype=np.int64)
+    pf = rho * config.phases
+    p1 = pf // M
+    p2 = np.minimum(p1 + 1, config.phases - 1)
+    frac = ((pf - p1 * M) / M).astype(np.float32)[:, None]
+    w_resid = (1.0 - frac) * table[p1] + frac * table[p2]  # [M, taps]
+
+    i = np.arange(2 * M, dtype=np.int64)
+    row_resid = (i * L) % M
+    row_off = (i * L) // M  # in [0, 2L)
+    a2 = np.zeros((2 * M, 2 * L + taps + 1), np.float32)
+    for ii in range(2 * M):
+        a2[ii, row_off[ii] : row_off[ii] + taps] = w_resid[row_resid[ii]]
+    a2 = jnp.asarray(a2)
+    l_inv = pow(L, -1, M) if M > 1 else 0
 
     def convolve(buffer, read_pos, pos_num, n_out):
-        num_j = pos_num + j_axis * jnp.int32(L)
-        d = num_j // jnp.int32(M)
-        rem = num_j - d * jnp.int32(M)
         d_min = pos_num // jnp.int32(M)
-        d = d - d_min  # in [0, L]
-
-        w = _phase_blend(coeffs, rem, jnp.int32(M))  # [M, taps]
-        # Band placement: A[j, s] = W[j, s - d_j] for s-d_j in [0, taps).
-        t_idx = s_axis[None, :] - d[:, None]
-        valid = (t_idx >= 0) & (t_idx < taps)
-        a = jnp.where(
-            valid,
-            jnp.take_along_axis(
-                w, jnp.clip(t_idx, 0, taps - 1), axis=1
-            ),
-            0.0,
-        )  # [M, span]
+        r = pos_num - d_min * jnp.int32(M)
+        i0 = (r * jnp.int32(l_inv)) % jnp.int32(M)
+        c0 = (i0 * jnp.int32(L)) // jnp.int32(M)
+        a = jax.lax.dynamic_slice(a2, (i0, c0), (M, span))  # banded kernels
 
         base = read_pos + d_min
 
@@ -334,7 +342,12 @@ def resolve_convolve_path(config: FirConfig, path: str = "auto") -> str:
     the schedule period fits on chip, else the general gather path."""
     if path != "auto":
         return path
-    if config.ratio_den <= MAX_PERIOD and config.ratio_num <= MAX_PERIOD_L:
+    atlas_bytes = 8 * config.ratio_den * (2 * config.ratio_num + config.taps + 1)
+    if (
+        config.ratio_den <= MAX_PERIOD
+        and config.ratio_num <= MAX_PERIOD_L
+        and atlas_bytes <= MAX_ATLAS_BYTES
+    ):
         return "periodic"
     return "gather"
 
