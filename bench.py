@@ -27,7 +27,7 @@ FFT_BASELINE_MSPS = 258.0  # CHANGELOG.md:75-76 midpoint (780-1192 MiB/s)
 SCAN_LEN = 20  # chunks per dispatch
 
 
-def bench_fir(dispatches=5, warmup=2, n_streams=128, chunk_frames=4096):
+def bench_fir(dispatches=5, warmup=2, n_streams=512, chunk_frames=4096):
     import jax
     import jax.numpy as jnp
 
@@ -75,17 +75,18 @@ def bench_fir(dispatches=5, warmup=2, n_streams=128, chunk_frames=4096):
     for _ in range(warmup):
         state, produced, peak = fleet(state, chunks)
     jax.block_until_ready(peak)
-    produced_total = 0
-    t0 = time.perf_counter()
+    produced_parts = []  # keep on device: a sync per dispatch would
+    t0 = time.perf_counter()  # serialize on the host<->TPU round-trip
     for _ in range(dispatches):
         state, produced, peak = fleet(state, chunks)
-        produced_total += int(produced)
+        produced_parts.append(produced)
     jax.block_until_ready(peak)
     dt = time.perf_counter() - t0
+    produced_total = sum(int(p) for p in produced_parts)
     return produced_total * C / dt / 1e6
 
 
-def bench_fft(dispatches=5, warmup=2, n_streams=512):
+def bench_fft(dispatches=5, warmup=2, n_streams=2048):
     import jax
     import jax.numpy as jnp
 
