@@ -1,0 +1,82 @@
+"""Fleet serving runtime integration: staging pool -> batched device step
+(BASELINE.md config 5: concurrent multi-channel streams with arbitrary
+input sizes)."""
+
+import numpy as np
+import pytest
+
+from resampler_tpu import Attenuation, Latency, ResamplerFir
+from resampler_tpu.runtime import StreamingFleet
+
+
+def test_fleet_matches_single_streams():
+    """Each fleet stream's output equals a standalone ResamplerFir fed the
+    same audio, for ragged per-stream input sizes."""
+    B, C = 6, 2
+    rng = np.random.default_rng(0)
+    fleet = StreamingFleet(
+        B, C, 48000, 44100, Latency.Sample32, Attenuation.Db90,
+        chunk_frames=512,
+    )
+    lengths = [100, 4096, 7777, 0, 1, 9000]
+    inputs = [
+        (rng.standard_normal(2 * n) * 0.5).astype(np.float32) for n in lengths
+    ]
+    for s, x in enumerate(inputs):
+        accepted = fleet.push(s, x)
+        assert accepted == x.size
+
+    fleet_out = fleet.drain()
+
+    for s, x in enumerate(inputs):
+        single = ResamplerFir(C, 48000, 44100, Latency.Sample32, Attenuation.Db90)
+        expected = single.process(x)
+        assert fleet_out[s].size == expected.size, f"stream {s}"
+        np.testing.assert_allclose(fleet_out[s], expected, atol=2e-6)
+
+
+def test_fleet_incremental_pushes():
+    """Interleaved push/step cycles preserve stream continuity."""
+    B, C = 3, 1
+    fleet = StreamingFleet(B, C, 44100, 48000, Latency.Sample16,
+                           chunk_frames=256)
+    t = np.arange(20000) / 44100
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+    rng = np.random.default_rng(1)
+    outs = []
+    offset = 0
+    while offset < x.size or fleet.pending(0):
+        if offset < x.size:
+            end = min(offset + int(rng.integers(1, 700)), x.size)
+            fleet.push(0, x[offset:end])
+            offset = end
+        step_out = fleet.step()
+        outs.append(step_out[0])
+        if offset >= x.size and not step_out[0].size:
+            break
+    y = np.concatenate(outs)
+
+    single = ResamplerFir(C, 44100, 48000, Latency.Sample16)
+    expected = single.process(x)
+    assert y.size == expected.size
+    np.testing.assert_allclose(y, expected, atol=2e-6)
+    # signal sanity: 440 Hz tone preserved
+    seg = y[2000:-2000]
+    zc = np.sum(np.diff(np.signbit(seg)) != 0)
+    assert zc / 2 / (seg.size / 48000) == pytest.approx(440, abs=2)
+
+
+def test_fleet_carry_on_device_backpressure():
+    """Pushing more than the device buffer accepts in one step keeps the
+    tail in carry and drains it across steps."""
+    fleet = StreamingFleet(1, 1, 48000, 48000, Latency.Sample8,
+                           chunk_frames=4096, queue_capacity_frames=1 << 15)
+    x = np.arange(3 * 4096, dtype=np.float32)
+    fleet.push(0, x)
+    total_in_flight = fleet.pending(0)
+    assert total_in_flight == x.size
+    y = np.concatenate([o for o in (fleet.step()[0] for _ in range(6))])
+    assert fleet.pending(0) == 0
+    # identity-rate FIR reproduces the ramp (minus taps tail), delayed
+    assert y.size >= x.size - fleet.engine.config.taps - 1
