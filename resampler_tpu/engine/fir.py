@@ -67,13 +67,25 @@ __all__ = [
 PHASES = 1024
 #: Maximum buffered input frames (reference: src/resampler_fir.rs:18).
 INPUT_CAPACITY = 4096
-#: Double-sized ring buffer for copy-free streaming
+#: Reference analog kept for parity accounting; the TPU engine uses an
+#: end-aligned layout instead of a double-sized ring
 #: (reference: src/resampler_fir.rs:19).
 BUFFER_SIZE = INPUT_CAPACITY * 2
 #: Largest padded input bucket accepted by one ``step`` call (frames).
 MAX_CHUNK = INPUT_CAPACITY
+#: End of the valid region in the end-aligned buffer: the newest frame
+#: always sits at column VALID_END-1, so appending is a STATIC-seam concat
+#: + one contiguous dynamic slice (a write at a per-stream dynamic offset
+#: would lower to a batched scatter under vmap — measured ~1.2 ms/step at
+#: 512 streams).
+VALID_END = INPUT_CAPACITY
+#: Slack after VALID_END so the convolution's static-size span read never
+#: clamps (dynamic_slice clamps by shifting the window, which would corrupt
+#: valid lanes).  Bounds: conv/im2col span totals stay under ~14.5k columns
+#: for the permitted L <= MAX_PERIOD_L.
+READ_SLACK = 16384
 #: Reduced output-rate denominator limit keeping every scheduled int32
-#: quantity below 2^31 (see overflow analysis in ``_schedule``).
+#: quantity below 2^31 (see overflow analysis in ``_compute_n_out``).
 MAX_REDUCED_RATE = 500_000
 
 
@@ -101,11 +113,10 @@ class FirConfig:
 
     @property
     def buffer_alloc(self) -> int:
-        # BUFFER_SIZE plus slack so (a) a full MAX_CHUNK write at
-        # write_position == BUFFER_SIZE never clamps and (b) the periodic
-        # path's single contiguous span read (up to ~INPUT_CAPACITY + span
-        # past read_position <= BUFFER_SIZE) never clamps.
-        return BUFFER_SIZE + 2 * MAX_CHUNK
+        # End-aligned layout: valid data occupies the last
+        # ``available_frames`` columns of [0, VALID_END); the READ_SLACK
+        # tail stays zero so static-size span reads never clamp.
+        return VALID_END + READ_SLACK
 
     @property
     def out_capacity(self) -> int:
@@ -121,18 +132,17 @@ class FirConfig:
         return self.taps // 2
 
 
-#: Streaming state pytree: ``buffer [C, buffer_alloc] f32``,
-#: ``read_position``, ``available_frames``, ``pos_num`` (int32 scalars).
-#: A plain dict, so stream state is trivially serializable
-#: (checkpoint/resume) and vmappable — a capability the reference only
-#: implies (SURVEY.md §5).
+#: Streaming state pytree: ``buffer [C, buffer_alloc] f32`` (end-aligned:
+#: the valid ``available_frames`` columns end at VALID_END),
+#: ``available_frames`` and ``pos_num`` (int32 scalars).  A plain dict, so
+#: stream state is trivially serializable (checkpoint/resume) and
+#: vmappable — a capability the reference only implies (SURVEY.md §5).
 FirState = dict
 
 
 def fir_init(config: FirConfig) -> FirState:
     return FirState(
         buffer=jnp.zeros((config.channels, config.buffer_alloc), jnp.float32),
-        read_position=jnp.zeros((), jnp.int32),
         available_frames=jnp.zeros((), jnp.int32),
         pos_num=jnp.zeros((), jnp.int32),
     )
@@ -252,6 +262,14 @@ MAX_PERIOD_L = 4000
 MAX_ATLAS_BYTES = 32 << 20
 
 
+def _use_im2col(L: int, taps: int) -> bool:
+    """im2col pads the contraction to n_blk*L columns; worth it unless the
+    padding exceeds ~50% extra FLOPs over the exact span (L >> taps)."""
+    span = L + taps + 1
+    n_blk = 1 + -(-(span - L) // L)
+    return n_blk * L <= 1.5 * span and n_blk <= 256
+
+
 def _convolve_periodic(config: FirConfig, coeffs):
     """Small-denominator fast path: **resampling as a strided convolution
     with a precomputed banded kernel atlas** — zero dynamic gathers.
@@ -317,22 +335,40 @@ def _convolve_periodic(config: FirConfig, coeffs):
         # dynamic slices would lower to an element-granularity TPU gather,
         # observed ~50x slower), then the block structure
         #   out[k*M + j, c] = sum_s A[j, s] * region[c, k*L + s]
-        # is exactly a stride-L 1-D cross-correlation of the region with
-        # the M banded kernels — one lax.conv op, which XLA maps onto the
-        # MXU (polyphase resampling as strided convolution).
-        region = jax.lax.dynamic_slice(
-            buffer, (0, base), (C, (K - 1) * L + span)
-        )
-        out = jax.lax.conv_general_dilated(
-            region[:, None, :],            # [C, 1, total]   (N, C_in, W)
-            a[:, None, :],                 # [M, 1, span]    (O, I, W)
-            window_strides=(L,),
-            padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            preferred_element_type=jnp.float32,
-        )  # [C, M, K]
-        out = jnp.transpose(out, (2, 1, 0)).reshape(K * M, C)
-        return out[: config.out_capacity]
+        # runs on the MXU either as an explicit im2col matmul — the
+        # overlapping stride-L windows decompose into n_blk shifted views
+        # of the NON-overlapping [K, L] block reshape (pure relayout, no
+        # gather) — or, when the L-block padding would waste FLOPs
+        # (L >> taps), as a stride-L lax.conv.  Measured on v5e: the
+        # im2col matmul beats XLA's C_in=1 strided-conv lowering by ~25%.
+        if _use_im2col(L, taps):
+            n_blk = 1 + -(-(span - L) // L)
+            s_len = n_blk * L
+            region = jax.lax.dynamic_slice(
+                buffer, (0, base), (C, (K + n_blk) * L)
+            )
+            blocks = region.reshape(C, K + n_blk, L)
+            segs = jnp.concatenate(
+                [blocks[:, b : b + K, :] for b in range(n_blk)], axis=2
+            )  # [C, K, n_blk*L]
+            a_pad = jnp.pad(a, ((0, 0), (0, s_len - span)))
+            out = jnp.einsum(
+                "js,cks->kjc", a_pad, segs, preferred_element_type=jnp.float32
+            )  # [K, M, C]
+        else:
+            region = jax.lax.dynamic_slice(
+                buffer, (0, base), (C, (K - 1) * L + span)
+            )
+            out = jax.lax.conv_general_dilated(
+                region[:, None, :],        # [C, 1, total]   (N, C_in, W)
+                a[:, None, :],             # [M, 1, span]    (O, I, W)
+                window_strides=(L,),
+                padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                preferred_element_type=jnp.float32,
+            )  # [C, M, K]
+            out = jnp.transpose(out, (2, 1, 0))  # [K, M, C]
+        return out.reshape(K * M, C)[: config.out_capacity]
 
     return convolve
 
@@ -380,58 +416,50 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
         out_budget = jnp.asarray(out_budget, jnp.int32)
 
         buffer = state["buffer"]
-        read_pos = state["read_position"]
         avail = state["available_frames"]
         pos_num = state["pos_num"]
 
         # ---- copy-in (reference: src/resampler_fir.rs:524-538) ----
-        write_pos = read_pos + avail
-        remaining = jnp.maximum(BUFFER_SIZE - write_pos, 0)
-        to_copy = jnp.minimum(
-            jnp.minimum(n_valid, remaining), INPUT_CAPACITY - avail
-        )
-        region = jax.lax.dynamic_slice(buffer, (0, write_pos), (C, n_in))
+        # End-aligned layout: valid data always ends at column VALID_END,
+        # so appending = mask the chunk, concat at the STATIC seam, and
+        # take one contiguous window ending at the new valid end.  This
+        # replaces a per-stream dynamic-offset write (a batched scatter
+        # under vmap) AND the reference's compaction memmove: consuming
+        # oldest frames just shrinks the valid region from the left.
+        to_copy = jnp.minimum(n_valid, INPUT_CAPACITY - avail)
         mask = jnp.arange(n_in, dtype=jnp.int32) < to_copy
-        region = jnp.where(mask[None, :], chunk.T, region)
-        buffer = jax.lax.dynamic_update_slice(buffer, region, (0, write_pos))
+        chunk_masked = jnp.where(mask[None, :], chunk.T, 0.0)
+        conc = jnp.concatenate(
+            [
+                buffer[:, :VALID_END],
+                chunk_masked,
+                jnp.zeros((C, READ_SLACK), jnp.float32),
+            ],
+            axis=1,
+        )
+        buffer = jax.lax.dynamic_slice(
+            conc, (0, to_copy), (C, config.buffer_alloc)
+        )
         avail = avail + to_copy
 
         # ---- schedule (reference hot loop: src/resampler_fir.rs:542-565) ----
         n_out = _compute_n_out(config, pos_num, avail, out_budget)
 
         # ---- polyphase convolution ----
+        read_pos = jnp.int32(VALID_END) - avail  # start of valid region
         out = _convolve(buffer, read_pos, pos_num, n_out)  # [out_capacity, C]
         lane = jnp.arange(config.out_capacity, dtype=jnp.int32)
         out = jnp.where((lane < n_out)[:, None], out, 0.0)
 
-        # ---- consume (reference: src/resampler_fir.rs:592-602) ----
+        # ---- consume (reference: src/resampler_fir.rs:592-615; here
+        # consumption shrinks the valid region in place, no memmove) ----
         pos_after = pos_num + n_out * jnp.int32(config.ratio_num)
         consumed = jnp.minimum(pos_after // jnp.int32(config.ratio_den), avail)
-        read_pos = read_pos + consumed
         avail = avail - consumed
         pos_num = pos_after - consumed * jnp.int32(config.ratio_den)
 
-        # ---- compaction (reference: src/resampler_fir.rs:605-615) ----
-        # Shift by the STATIC amount INPUT_CAPACITY when read_position
-        # exceeds it (read_position <= 2*INPUT_CAPACITY always, so one
-        # static shift restores the invariant).  A dynamic-amount roll
-        # would lower to an element-granularity TPU gather (~50x slower),
-        # and under vmap a lax.cond becomes a select that evaluates both
-        # branches anyway — so this is an unconditional static copy + select.
-        do_compact = read_pos > INPUT_CAPACITY
-        shifted = jnp.concatenate(
-            [
-                buffer[:, INPUT_CAPACITY:],
-                jnp.zeros((C, INPUT_CAPACITY), jnp.float32),
-            ],
-            axis=1,
-        )
-        buffer = jnp.where(do_compact, shifted, buffer)
-        read_pos = jnp.where(do_compact, read_pos - INPUT_CAPACITY, read_pos)
-
         new_state = FirState(
             buffer=buffer,
-            read_position=read_pos,
             available_frames=avail,
             pos_num=pos_num,
         )

@@ -80,3 +80,23 @@ def test_fleet_carry_on_device_backpressure():
     assert fleet.pending(0) == 0
     # identity-rate FIR reproduces the ramp (minus taps tail), delayed
     assert y.size >= x.size - fleet.engine.config.taps - 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Save mid-stream, restore in a fresh resampler, continuation is
+    bit-identical (SURVEY.md §5 checkpoint/resume)."""
+    from resampler_tpu.utils.checkpoint import load_state, save_state
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(8000).astype(np.float32)
+    a = ResamplerFir(1, 48000, 44100)
+    out = np.zeros(a.buffer_size_output(), np.float32)
+    a.resample(x[:4000], out)
+    save_state(tmp_path / "state.npz", a.state)
+
+    y_cont = a.process(x[4000:])
+
+    b = ResamplerFir(1, 48000, 44100)
+    b.state = load_state(tmp_path / "state.npz")
+    y_restored = b.process(x[4000:])
+    np.testing.assert_array_equal(y_cont, y_restored)
