@@ -125,9 +125,49 @@ def bench_fft(dispatches=5, warmup=2, n_streams=2048):
     return samples / dt / 1e6
 
 
+def quality_attestation():
+    """Measure signal quality ON THE BENCH DEVICE so throughput numbers
+    can never silently trade away precision (e.g. a bf16 matmul default
+    would show up here as ~47 dB alias rejection instead of >=105)."""
+    import numpy as np
+
+    from resampler_tpu import Attenuation, Latency, ResamplerFft, ResamplerFir, SampleRate
+
+    # Multi-channel configs so the attestations exercise the same MXU
+    # matmul shapes as the throughput runs (a 1-channel FFT chunk is a
+    # vector-matrix product XLA may keep off the MXU entirely).
+    C = 2
+    r = ResamplerFir(C, 48000, 44100, Latency.Sample64, Attenuation.Db90)
+    t = np.arange(48000) / 48000
+    tone = (0.5 * np.sin(2 * np.pi * 23000 * t)).astype(np.float32)
+    x = np.repeat(tone, C)
+    seg = r.process(x)[2000 * C : -2000 * C : C]
+    fir_alias_db = float(-20 * np.log10(np.abs(seg).max() / 0.5 + 1e-12))
+
+    rf = ResamplerFft(C, SampleRate.Hz22050, SampleRate.Hz48000)
+    x = np.zeros(10 * rf.chunk_size_input(), np.float32)
+    x[len(x) // 2 - (len(x) // 2) % C] = 1.0  # impulse on channel 0
+    y = rf.process(x)[0::C]
+    peak = int(np.argmax(np.abs(y)))
+    w = int(48000 * 0.1)
+    s = max(peak - w // 2, 0)
+    spec = np.fft.rfft(y[s : s + w], 1 << 17)
+    mag = 20 * np.log10(np.maximum(np.abs(spec), 1e-12))
+
+    def b(f):
+        return round(f / 48000 * (1 << 17))
+
+    nyq = 22050 / 2
+    pb = mag[b(20.0) : b(nyq * 0.9) + 1]
+    sb = mag[b(nyq * 1.1) : b(48000 / 2 * 0.95) + 1]
+    fft_stopband_db = float(pb.max() - sb.max())
+    return fir_alias_db, fft_stopband_db
+
+
 def main():
     fir_msps = bench_fir()
     fft_msps = bench_fft()
+    fir_alias_db, fft_stopband_db = quality_attestation()
     result = {
         "metric": "Msamples/sec/chip stereo 44.1->48k FIR (Sample64, Db90, batched streams)",
         "value": round(fir_msps, 1),
@@ -138,6 +178,9 @@ def main():
             "fir_vs_reference": round(fir_msps / FIR_BASELINE_MSPS, 2),
             "fft_msamples_per_s": round(fft_msps, 1),
             "fft_vs_reference": round(fft_msps / FFT_BASELINE_MSPS, 2),
+            "fir_alias_rejection_db": round(fir_alias_db, 1),
+            "fft_stopband_db": round(fft_stopband_db, 1),
+            "quality_ok": bool(fir_alias_db >= 100.0 and fft_stopband_db >= 99.0),
             "reference": "hasenbanck/resampler on AMD Ryzen 9 9950X3D (BASELINE.md)",
         },
     }

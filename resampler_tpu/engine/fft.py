@@ -177,7 +177,8 @@ def make_fft_step(config: FftConfig, *, backend: str = "matmul"):
         proj = jnp.asarray(get_projection_matrix(n_in, n_out))
 
         def chunk_op(x):  # [C, N] -> [C, 2M]
-            return jnp.dot(x, proj, preferred_element_type=jnp.float32)
+            return jnp.dot(x, proj, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
     elif backend == "fft":
         # Cross-checking backend mirroring the reference dataflow.  Note:

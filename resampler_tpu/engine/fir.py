@@ -248,7 +248,8 @@ def _convolve_gather(config: FirConfig, coeffs):
         )
         x = jnp.take(buffer, idx, axis=1, mode="clip")  # [C, N, taps]
         return jnp.einsum(
-            "cnt,nt->nc", x, w, preferred_element_type=jnp.float32
+            "cnt,nt->nc", x, w, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
         )
 
     return convolve
@@ -353,7 +354,8 @@ def _convolve_periodic(config: FirConfig, coeffs):
             )  # [C, K, n_blk*L]
             a_pad = jnp.pad(a, ((0, 0), (0, s_len - span)))
             out = jnp.einsum(
-                "js,cks->kjc", a_pad, segs, preferred_element_type=jnp.float32
+                "js,cks->kjc", a_pad, segs, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST
             )  # [K, M, C]
         else:
             region = jax.lax.dynamic_slice(
@@ -366,6 +368,7 @@ def _convolve_periodic(config: FirConfig, coeffs):
                 padding="VALID",
                 dimension_numbers=("NCH", "OIH", "NCH"),
                 preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
             )  # [C, M, K]
             out = jnp.transpose(out, (2, 1, 0))  # [K, M, C]
         return out.reshape(K * M, C)[: config.out_capacity]
