@@ -27,7 +27,14 @@ FFT_BASELINE_MSPS = 258.0  # CHANGELOG.md:75-76 midpoint (780-1192 MiB/s)
 SCAN_LEN = 20  # chunks per dispatch
 
 
-def bench_fir(dispatches=5, warmup=2, n_streams=512, chunk_frames=4096):
+def bench_fir(
+    dispatches=5, warmup=2, n_streams=512, chunk_frames=4096,
+    synchronized=True,
+):
+    """Batched FIR throughput.  ``synchronized=True`` benches the
+    phase-locked fleet (one giant matmul per step — the serving fast
+    path); ``False`` benches the general vmapped fleet with independent
+    per-stream state."""
     import jax
     import jax.numpy as jnp
 
@@ -45,28 +52,47 @@ def bench_fir(dispatches=5, warmup=2, n_streams=512, chunk_frames=4096):
     coeffs = fir_engine.fir_coefficients(
         Latency.Sample64.taps, Attenuation.Db90, cutoff
     )
-    step = fir_engine.make_fir_step(cfg, coeffs)
 
-    n_valid = jnp.full((n_streams,), chunk_frames, jnp.int32)
-    budget = jnp.full((n_streams,), cfg.out_capacity, jnp.int32)
+    if synchronized:
+        step = fir_engine.make_fir_fleet_step_sync(cfg, coeffs, n_streams)
+        state = fir_engine.fir_fleet_init_sync(cfg, n_streams)
 
-    def fleet(state, chunks):
-        def body(st, _):
-            st, out, consumed, produced = jax.vmap(
-                step, in_axes=(0, 0, 0, 0)
-            )(st, chunks, n_valid, budget)
-            # Reduce over the outputs so XLA cannot dead-code-eliminate the
-            # convolution itself (produced alone only depends on the
-            # schedule); the checksum also mimics a downstream consumer.
-            return st, (jnp.sum(produced), jnp.max(jnp.abs(out)))
-        state, (produced, peaks) = jax.lax.scan(
-            body, state, None, length=SCAN_LEN
+        def fleet(state, chunks):
+            def body(st, _):
+                st, out, consumed, produced = step(
+                    st, chunks, jnp.int32(chunk_frames)
+                )
+                return st, (produced * n_streams, jnp.max(jnp.abs(out)))
+
+            state, (produced, peaks) = jax.lax.scan(
+                body, state, None, length=SCAN_LEN
+            )
+            return state, jnp.sum(produced), jnp.max(peaks)
+
+    else:
+        step = fir_engine.make_fir_step(cfg, coeffs)
+        n_valid = jnp.full((n_streams,), chunk_frames, jnp.int32)
+        budget = jnp.full((n_streams,), cfg.out_capacity, jnp.int32)
+        state = jax.vmap(lambda _: fir_engine.fir_init(cfg))(
+            jnp.arange(n_streams)
         )
-        return state, jnp.sum(produced), jnp.max(peaks)
+
+        def fleet(state, chunks):
+            def body(st, _):
+                st, out, consumed, produced = jax.vmap(
+                    step, in_axes=(0, 0, 0, 0)
+                )(st, chunks, n_valid, budget)
+                # Reduce over outputs so XLA cannot dead-code-eliminate the
+                # convolution (produced alone only depends on the schedule).
+                return st, (jnp.sum(produced), jnp.max(jnp.abs(out)))
+
+            state, (produced, peaks) = jax.lax.scan(
+                body, state, None, length=SCAN_LEN
+            )
+            return state, jnp.sum(produced), jnp.max(peaks)
 
     fleet = jax.jit(fleet, donate_argnums=0)
 
-    state = jax.vmap(lambda _: fir_engine.fir_init(cfg))(jnp.arange(n_streams))
     rng = np.random.default_rng(0)
     chunks = jnp.asarray(
         rng.standard_normal((n_streams, chunk_frames, C)), jnp.float32

@@ -50,30 +50,51 @@ class BatchedResamplerFir:
         *,
         mesh=None,
         path: str = "auto",
+        synchronized: bool = False,
     ) -> None:
         L, M = reduce_ratio(int(input_rate), int(output_rate))
         self._config = fir_engine.FirConfig(
             channels=channels, taps=latency.taps, ratio_num=L, ratio_den=M
         )
         self.n_streams = n_streams
+        self.synchronized = synchronized
         cutoff = fir_engine.fir_cutoff(
             latency.taps, attenuation, int(input_rate) / int(output_rate)
         )
         coeffs = fir_engine.fir_coefficients(latency.taps, attenuation, cutoff)
-        step = fir_engine.make_fir_step(self._config, coeffs, path=path)
         self._mesh = mesh
 
-        def batched_step(state, chunks, n_valid, out_budget):
-            new_state, out, consumed, produced = jax.vmap(
-                step, in_axes=(0, 0, 0, 0)
-            )(state, chunks, n_valid, out_budget)
-            peak = jnp.max(jnp.abs(out))  # fleet telemetry (one psum)
-            return new_state, out, consumed, produced, peak
+        if synchronized:
+            # Phase-locked fleet: every stream consumes the same schedule,
+            # so the whole step folds into one fleet-wide MXU matmul —
+            # the fastest serving path (requires a shared n_valid scalar).
+            sync_step = fir_engine.make_fir_fleet_step_sync(
+                self._config, coeffs, n_streams
+            )
 
-        self._step = jax.jit(batched_step, donate_argnums=0)
-        state = jax.vmap(lambda _: fir_engine.fir_init(self._config))(
-            jnp.arange(n_streams)
-        )
+            def batched_step(state, chunks, n_valid):
+                new_state, out, consumed, produced = sync_step(
+                    state, chunks, n_valid
+                )
+                peak = jnp.max(jnp.abs(out))
+                return new_state, out, consumed, produced, peak
+
+            self._step = jax.jit(batched_step, donate_argnums=0)
+            state = fir_engine.fir_fleet_init_sync(self._config, n_streams)
+        else:
+            step = fir_engine.make_fir_step(self._config, coeffs, path=path)
+
+            def batched_step(state, chunks, n_valid, out_budget):
+                new_state, out, consumed, produced = jax.vmap(
+                    step, in_axes=(0, 0, 0, 0)
+                )(state, chunks, n_valid, out_budget)
+                peak = jnp.max(jnp.abs(out))  # fleet telemetry (one psum)
+                return new_state, out, consumed, produced, peak
+
+            self._step = jax.jit(batched_step, donate_argnums=0)
+            state = jax.vmap(lambda _: fir_engine.fir_init(self._config))(
+                jnp.arange(n_streams)
+            )
         self._state = shard_batch(state, mesh) if mesh is not None else state
 
     @property
@@ -104,11 +125,19 @@ class BatchedResamplerFir:
         chunks = np.asarray(chunks, np.float32)
         B, n, C = chunks.shape
         assert B == self.n_streams and C == self._config.channels
+        if self._mesh is not None:
+            chunks = shard_batch(chunks, self._mesh)
+        if self.synchronized:
+            nv = n if n_valid is None else int(np.min(n_valid))
+            self._state, out, consumed, produced, peak = self._step(
+                self._state, chunks, np.int32(nv)
+            )
+            consumed = jnp.full((B,), consumed)
+            produced = jnp.full((B,), produced)
+            return out, consumed, produced, peak
         if n_valid is None:
             n_valid = np.full((B,), n, np.int32)
         budget = np.full((B,), self._config.out_capacity, np.int32)
-        if self._mesh is not None:
-            chunks = shard_batch(chunks, self._mesh)
         self._state, out, consumed, produced, peak = self._step(
             self._state, chunks, np.asarray(n_valid, np.int32), budget
         )

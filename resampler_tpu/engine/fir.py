@@ -79,11 +79,9 @@ MAX_CHUNK = INPUT_CAPACITY
 #: would lower to a batched scatter under vmap — measured ~1.2 ms/step at
 #: 512 streams).
 VALID_END = INPUT_CAPACITY
-#: Slack after VALID_END so the convolution's static-size span read never
-#: clamps (dynamic_slice clamps by shifting the window, which would corrupt
-#: valid lanes).  Bounds: conv/im2col span totals stay under ~14.5k columns
-#: for the permitted L <= MAX_PERIOD_L.
-READ_SLACK = 16384
+#: Fallback slack after VALID_END (non-periodic paths; the gather path
+#: reads with clipped indices so it needs none — kept small for safety).
+MIN_READ_SLACK = 128
 #: Reduced output-rate denominator limit keeping every scheduled int32
 #: quantity below 2^31 (see overflow analysis in ``_compute_n_out``).
 MAX_REDUCED_RATE = 500_000
@@ -112,11 +110,32 @@ class FirConfig:
             )
 
     @property
+    def read_slack(self) -> int:
+        """Zero slack after VALID_END so the periodic path's static-size
+        span read never clamps (a clamped dynamic_slice shifts the window,
+        corrupting valid lanes).  Bound: the read starts at
+        ``VALID_END - avail + d_min`` with ``d_min <= avail - taps + 1 +
+        ceil(L/M)`` (the capped-consumption worst case), so slack =
+        region_cols + L//M + margin covers every state."""
+        if resolve_convolve_path(self) != "periodic":
+            return MIN_READ_SLACK
+        L, taps = self.ratio_num, self.taps
+        span = L + taps + 1
+        K = -(-self.out_capacity // self.ratio_den)
+        if _use_im2col(L, taps):
+            n_blk = 1 + -(-(span - L) // L)
+            region_cols = (K + n_blk) * L
+        else:
+            region_cols = (K - 1) * L + span
+        slack = region_cols + L // self.ratio_den + MIN_READ_SLACK
+        return -(-slack // 256) * 256  # round up for tidy layouts
+
+    @property
     def buffer_alloc(self) -> int:
         # End-aligned layout: valid data occupies the last
-        # ``available_frames`` columns of [0, VALID_END); the READ_SLACK
-        # tail stays zero so static-size span reads never clamp.
-        return VALID_END + READ_SLACK
+        # ``available_frames`` columns of [0, VALID_END); the slack tail
+        # stays zero so static-size span reads never clamp.
+        return VALID_END + self.read_slack
 
     @property
     def out_capacity(self) -> int:
@@ -436,7 +455,7 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
             [
                 buffer[:, :VALID_END],
                 chunk_masked,
-                jnp.zeros((C, READ_SLACK), jnp.float32),
+                jnp.zeros((C, config.read_slack), jnp.float32),
             ],
             axis=1,
         )
@@ -469,6 +488,162 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
         return new_state, out, to_copy, n_out
 
     return step
+
+
+def make_fir_fleet_step_sync(config: FirConfig, coeffs: np.ndarray, n_streams: int):
+    """Synchronized-fleet step: ``n_streams`` streams in phase lockstep.
+
+    Fleet serving commonly feeds every stream the same number of frames
+    per step, so all streams share one phase state — the schedule scalars
+    (``avail``, ``pos_num``, ``to_copy``, ``n_out``) become scalars for
+    the whole fleet and every per-stream dynamic offset disappears.  The
+    convolution then folds into ONE MXU matmul over all streams and
+    channels (``[M, s_len] @ [s_len, B*K*C]``), and the end-aligned
+    re-window is one shared-offset dynamic slice over ``[B*C, ...]``.
+
+    ``step(state, chunks [B, n, C], n_valid scalar) ->
+    (state', out [B, out_cap, C], consumed, produced)``; state is
+    ``{"buffer": [B, C, alloc], "available_frames": (), "pos_num": ()}``.
+
+    Per-stream semantics are identical to ``make_fir_step`` (tested);
+    streams with genuinely divergent feeds need the vmapped general step.
+    """
+    if resolve_convolve_path(config) != "periodic":
+        raise ValueError(
+            "synchronized fleet step requires the periodic convolve path"
+        )
+    L = config.ratio_num
+    M = config.ratio_den
+    taps = config.taps
+    C = config.channels
+    B = n_streams
+    span = L + taps + 1
+    K = -(-config.out_capacity // M)
+    alloc = config.buffer_alloc
+    out_cap = config.out_capacity
+
+    # shared static atlas (same construction as _convolve_periodic)
+    table = np.asarray(coeffs, np.float32)
+    rho = np.arange(M, dtype=np.int64)
+    pf = rho * config.phases
+    p1 = pf // M
+    p2 = np.minimum(p1 + 1, config.phases - 1)
+    frac = ((pf - p1 * M) / M).astype(np.float32)[:, None]
+    w_resid = (1.0 - frac) * table[p1] + frac * table[p2]
+    i = np.arange(2 * M, dtype=np.int64)
+    a2_np = np.zeros((2 * M, 2 * L + taps + 1), np.float32)
+    for ii in range(2 * M):
+        off = int((i[ii] * L) // M)
+        a2_np[ii, off : off + taps] = w_resid[int((i[ii] * L) % M)]
+    a2 = jnp.asarray(a2_np)
+    l_inv = pow(L, -1, M) if M > 1 else 0
+
+    use_im2col = _use_im2col(L, taps)
+    if use_im2col:
+        n_blk = 1 + -(-(span - L) // L)
+        s_len = n_blk * L
+
+    def step(state: FirState, chunks, n_valid):
+        chunks = chunks.astype(jnp.float32)
+        _, n_in, _ = chunks.shape
+        assert chunks.shape == (B, n_in, C) and n_in <= MAX_CHUNK
+        n_valid = jnp.minimum(jnp.asarray(n_valid, jnp.int32), n_in)
+
+        buffer = state["buffer"].reshape(B * C, alloc)
+        avail = state["available_frames"]
+        pos_num = state["pos_num"]
+
+        # ---- copy-in, shared offset ----
+        to_copy = jnp.minimum(n_valid, INPUT_CAPACITY - avail)
+        mask = jnp.arange(n_in, dtype=jnp.int32) < to_copy
+        chunk_bc = jnp.where(
+            mask[None, :], jnp.transpose(chunks, (0, 2, 1)).reshape(B * C, n_in), 0.0
+        )
+        conc = jnp.concatenate(
+            [
+                buffer[:, :VALID_END],
+                chunk_bc,
+                jnp.zeros((B * C, config.read_slack), jnp.float32),
+            ],
+            axis=1,
+        )
+        buffer = jax.lax.dynamic_slice(conc, (0, to_copy), (B * C, alloc))
+        avail = avail + to_copy
+
+        # ---- shared schedule ----
+        n_out = _compute_n_out(
+            config, pos_num, avail, jnp.int32(config.out_capacity)
+        )
+
+        # ---- shared atlas window + ONE fleet-wide matmul ----
+        d_min = pos_num // jnp.int32(M)
+        r = pos_num - d_min * jnp.int32(M)
+        i0 = (r * jnp.int32(l_inv)) % jnp.int32(M)
+        c0 = (i0 * jnp.int32(L)) // jnp.int32(M)
+        a = jax.lax.dynamic_slice(a2, (i0, c0), (M, span))
+
+        read_pos = jnp.int32(VALID_END) - avail
+        base = read_pos + d_min
+        if use_im2col:
+            region = jax.lax.dynamic_slice(
+                buffer, (0, base), (B * C, (K + n_blk) * L)
+            )
+            blocks = region.reshape(B * C, K + n_blk, L)
+            segs = jnp.concatenate(
+                [blocks[:, bb : bb + K, :] for bb in range(n_blk)], axis=2
+            )  # [B*C, K, s_len]
+            a_pad = jnp.pad(a, ((0, 0), (0, s_len - span)))
+            out = jnp.einsum(
+                "js,gks->gkj",
+                a_pad,
+                segs,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [B*C, K, M]
+        else:
+            region = jax.lax.dynamic_slice(
+                buffer, (0, base), (B * C, (K - 1) * L + span)
+            )
+            out = jax.lax.conv_general_dilated(
+                region[:, None, :],
+                a[:, None, :],
+                window_strides=(L,),
+                padding="VALID",
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [B*C, M, K]
+            out = jnp.transpose(out, (0, 2, 1))  # [B*C, K, M]
+
+        out = out.reshape(B, C, K * M)[:, :, :out_cap]
+        out = jnp.transpose(out, (0, 2, 1))  # [B, out_cap, C]
+        lane = jnp.arange(out_cap, dtype=jnp.int32)
+        out = jnp.where((lane < n_out)[None, :, None], out, 0.0)
+
+        # ---- shared consume ----
+        pos_after = pos_num + n_out * jnp.int32(L)
+        consumed = jnp.minimum(pos_after // jnp.int32(M), avail)
+        avail = avail - consumed
+        pos_num = pos_after - consumed * jnp.int32(M)
+
+        new_state = FirState(
+            buffer=buffer.reshape(B, C, alloc),
+            available_frames=avail,
+            pos_num=pos_num,
+        )
+        return new_state, out, to_copy, n_out
+
+    return step
+
+
+def fir_fleet_init_sync(config: FirConfig, n_streams: int) -> FirState:
+    return FirState(
+        buffer=jnp.zeros(
+            (n_streams, config.channels, config.buffer_alloc), jnp.float32
+        ),
+        available_frames=jnp.zeros((), jnp.int32),
+        pos_num=jnp.zeros((), jnp.int32),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -115,3 +115,23 @@ def test_graft_entry_points():
     jax.block_until_ready(out)
 
     mod.dryrun_multichip(8)
+
+
+def test_synchronized_fleet_matches_vmapped():
+    """Phase-locked fleet (one fleet-wide matmul) equals the general
+    vmapped fleet when every stream gets the same chunk sizes."""
+    B, C = 4, 2
+    rng = np.random.default_rng(6)
+    plain = BatchedResamplerFir(B, C, 44100, 48000, Latency.Sample32,
+                                Attenuation.Db90)
+    sync = BatchedResamplerFir(B, C, 44100, 48000, Latency.Sample32,
+                               Attenuation.Db90, synchronized=True)
+    for _ in range(3):
+        chunks = rng.standard_normal((B, 300, C)).astype(np.float32)
+        out_a, cons_a, prod_a, _ = plain.resample(chunks)
+        out_b, cons_b, prod_b, _ = sync.resample(chunks)
+        np.testing.assert_array_equal(np.asarray(cons_a), np.asarray(cons_b))
+        np.testing.assert_array_equal(np.asarray(prod_a), np.asarray(prod_b))
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), atol=2e-6
+        )
