@@ -112,7 +112,7 @@ def bench_fir(
     return produced_total * C / dt / 1e6
 
 
-def bench_fft(dispatches=5, warmup=2, n_streams=2048):
+def bench_fft(dispatches=5, warmup=2, n_streams=8192):
     import jax
     import jax.numpy as jnp
 
