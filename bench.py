@@ -28,7 +28,7 @@ SCAN_LEN = 20  # chunks per dispatch
 
 
 def bench_fir(
-    dispatches=5, warmup=2, n_streams=512, chunk_frames=4096,
+    dispatches=5, warmup=2, n_streams=1024, chunk_frames=4096,
     synchronized=True,
 ):
     """Batched FIR throughput.  ``synchronized=True`` benches the
