@@ -34,7 +34,6 @@ trivially (the batched multi-stream engine wraps this same core).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 import threading
 
@@ -135,7 +134,7 @@ class FirConfig:
         # End-aligned layout: valid data occupies the last
         # ``available_frames`` columns of [0, VALID_END); the slack tail
         # stays zero so static-size span reads never clamp.
-        return VALID_END + self.read_slack
+        return self.input_capacity + self.read_slack
 
     @property
     def out_capacity(self) -> int:
@@ -422,6 +421,7 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
     assert coeffs.shape == (config.phases, config.taps)
     C = config.channels
 
+    valid_end = config.input_capacity
     path = resolve_convolve_path(config, path)
     if path == "periodic":
         _convolve = _convolve_periodic(config, coeffs)
@@ -433,7 +433,7 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
     def step(state: FirState, chunk, n_valid, out_budget):
         chunk = chunk.astype(jnp.float32)
         n_in = chunk.shape[0]
-        assert n_in <= MAX_CHUNK and chunk.shape[1] == C
+        assert n_in <= config.input_capacity and chunk.shape[1] == C
         n_valid = jnp.minimum(jnp.asarray(n_valid, jnp.int32), n_in)
         out_budget = jnp.asarray(out_budget, jnp.int32)
 
@@ -448,15 +448,15 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
         # replaces a per-stream dynamic-offset write (a batched scatter
         # under vmap) AND the reference's compaction memmove: consuming
         # oldest frames just shrinks the valid region from the left.
-        to_copy = jnp.minimum(n_valid, INPUT_CAPACITY - avail)
+        to_copy = jnp.minimum(n_valid, valid_end - avail)
         mask = jnp.arange(n_in, dtype=jnp.int32) < to_copy
         chunk_masked = jnp.where(mask[None, :], chunk.T, 0.0)
         # slide only the valid window; the slack tail is constant zeros, so
         # it is appended statically instead of being concatenated and then
         # re-sliced (saves ~1/3 of the per-step copy traffic)
-        conc = jnp.concatenate([buffer[:, :VALID_END], chunk_masked], axis=1)
+        conc = jnp.concatenate([buffer[:, :valid_end], chunk_masked], axis=1)
         valid_part = jax.lax.dynamic_slice(
-            conc, (0, to_copy), (C, VALID_END)
+            conc, (0, to_copy), (C, valid_end)
         )
         buffer = jnp.concatenate(
             [valid_part, jnp.zeros((C, config.read_slack), jnp.float32)],
@@ -468,7 +468,7 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
         n_out = _compute_n_out(config, pos_num, avail, out_budget)
 
         # ---- polyphase convolution ----
-        read_pos = jnp.int32(VALID_END) - avail  # start of valid region
+        read_pos = jnp.int32(valid_end) - avail  # start of valid region
         out = _convolve(buffer, read_pos, pos_num, n_out)  # [out_capacity, C]
         lane = jnp.arange(config.out_capacity, dtype=jnp.int32)
         out = jnp.where((lane < n_out)[:, None], out, 0.0)
@@ -517,6 +517,7 @@ def make_fir_fleet_step_sync(config: FirConfig, coeffs: np.ndarray, n_streams: i
     taps = config.taps
     C = config.channels
     B = n_streams
+    valid_end = config.input_capacity
     span = L + taps + 1
     K = -(-config.out_capacity // M)
     alloc = config.buffer_alloc
@@ -546,7 +547,7 @@ def make_fir_fleet_step_sync(config: FirConfig, coeffs: np.ndarray, n_streams: i
     def step(state: FirState, chunks, n_valid):
         chunks = chunks.astype(jnp.float32)
         _, n_in, _ = chunks.shape
-        assert chunks.shape == (B, n_in, C) and n_in <= MAX_CHUNK
+        assert chunks.shape == (B, n_in, C) and n_in <= config.input_capacity
         n_valid = jnp.minimum(jnp.asarray(n_valid, jnp.int32), n_in)
 
         buffer = state["buffer"].reshape(B * C, alloc)
@@ -554,15 +555,15 @@ def make_fir_fleet_step_sync(config: FirConfig, coeffs: np.ndarray, n_streams: i
         pos_num = state["pos_num"]
 
         # ---- copy-in, shared offset ----
-        to_copy = jnp.minimum(n_valid, INPUT_CAPACITY - avail)
+        to_copy = jnp.minimum(n_valid, valid_end - avail)
         mask = jnp.arange(n_in, dtype=jnp.int32) < to_copy
         chunk_bc = jnp.where(
             mask[None, :], jnp.transpose(chunks, (0, 2, 1)).reshape(B * C, n_in), 0.0
         )
         # see make_fir_step: slide only the valid window, static zero slack
-        conc = jnp.concatenate([buffer[:, :VALID_END], chunk_bc], axis=1)
+        conc = jnp.concatenate([buffer[:, :valid_end], chunk_bc], axis=1)
         valid_part = jax.lax.dynamic_slice(
-            conc, (0, to_copy), (B * C, VALID_END)
+            conc, (0, to_copy), (B * C, valid_end)
         )
         buffer = jnp.concatenate(
             [valid_part, jnp.zeros((B * C, config.read_slack), jnp.float32)],
@@ -582,7 +583,7 @@ def make_fir_fleet_step_sync(config: FirConfig, coeffs: np.ndarray, n_streams: i
         c0 = (i0 * jnp.int32(L)) // jnp.int32(M)
         a = jax.lax.dynamic_slice(a2, (i0, c0), (M, span))
 
-        read_pos = jnp.int32(VALID_END) - avail
+        read_pos = jnp.int32(valid_end) - avail
         base = read_pos + d_min
         if use_im2col:
             region = jax.lax.dynamic_slice(

@@ -30,7 +30,6 @@ reference: src/fir/avx512.rs, SURVEY.md §2.6)
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -38,12 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..engine import fir as fir_engine
-from ..engine.fir import (
-    INPUT_CAPACITY,
-    VALID_END,
-    FirConfig,
-)
+from ..engine.fir import FirConfig
 
 __all__ = ["make_fir_fleet_step_pallas"]
 
@@ -92,7 +86,8 @@ def make_fir_fleet_step_pallas(
     a2_np = _build_atlas(config, coeffs)
     a2_rows, a2_cols = a2_np.shape
     l_inv = pow(L, -1, M) if M > 1 else 0
-    ext_cols = VALID_END + n_in + (alloc - VALID_END)
+    valid_end = config.input_capacity
+    ext_cols = valid_end + n_in + (alloc - valid_end)
 
     region_cols = (K + n_blk) * L
 
@@ -114,13 +109,13 @@ def make_fir_fleet_step_pallas(
         # every dynamic-offset window moves via DMA (the DMA engine
         # handles arbitrary offsets): stage the extended array once, then
         # DMA out the re-based buffer and the convolution region.
-        to_copy = jnp.minimum(n_valid, INPUT_CAPACITY - avail)
+        to_copy = jnp.minimum(n_valid, valid_end - avail)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n_in), 1)
         chunk_masked = jnp.where(col < to_copy, chunk_ref[0].T, 0.0)
-        ext_ref[:, :VALID_END] = buf_ref[0, :, :VALID_END]
-        ext_ref[:, VALID_END : VALID_END + n_in] = chunk_masked
-        ext_ref[:, VALID_END + n_in :] = jnp.zeros(
-            (C, ext_cols - VALID_END - n_in), jnp.float32
+        ext_ref[:, :valid_end] = buf_ref[0, :, :valid_end]
+        ext_ref[:, valid_end : valid_end + n_in] = chunk_masked
+        ext_ref[:, valid_end + n_in :] = jnp.zeros(
+            (C, ext_cols - valid_end - n_in), jnp.float32
         )
         avail = avail + to_copy
 
@@ -140,7 +135,7 @@ def make_fir_fleet_step_pallas(
         dma_a.start()
 
         # ---- convolution region + re-based buffer (DMAs) ----
-        read_pos = VALID_END - avail
+        read_pos = valid_end - avail
         base = read_pos + d_min
         dma_r = pltpu.make_async_copy(
             ext_ref.at[:, pl.ds(to_copy + base, region_cols)],
