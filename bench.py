@@ -24,7 +24,7 @@ import numpy as np
 FIR_BASELINE_MSPS = 137.0  # CHANGELOG.md:77 midpoint (503-540 MiB/s)
 FFT_BASELINE_MSPS = 258.0  # CHANGELOG.md:75-76 midpoint (780-1192 MiB/s)
 
-SCAN_LEN = 20  # chunks per dispatch
+SCAN_LEN = 40  # chunks per dispatch
 
 
 def bench_fir(
@@ -54,7 +54,9 @@ def bench_fir(
     )
 
     if synchronized:
-        step = fir_engine.make_fir_fleet_step_sync(cfg, coeffs, n_streams)
+        step = fir_engine.make_fir_fleet_step_sync(
+            cfg, coeffs, n_streams, channel_major=True
+        )
         state = fir_engine.fir_fleet_init_sync(cfg, n_streams)
 
         def fleet(state, chunks):
@@ -94,9 +96,12 @@ def bench_fir(
     fleet = jax.jit(fleet, donate_argnums=0)
 
     rng = np.random.default_rng(0)
-    chunks = jnp.asarray(
-        rng.standard_normal((n_streams, chunk_frames, C)), jnp.float32
+    shape = (
+        (n_streams, C, chunk_frames)
+        if synchronized
+        else (n_streams, chunk_frames, C)
     )
+    chunks = jnp.asarray(rng.standard_normal(shape), jnp.float32)
 
     for _ in range(warmup):
         state, produced, peak = fleet(state, chunks)

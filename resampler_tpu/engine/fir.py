@@ -490,7 +490,13 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
     return step
 
 
-def make_fir_fleet_step_sync(config: FirConfig, coeffs: np.ndarray, n_streams: int):
+def make_fir_fleet_step_sync(
+    config: FirConfig,
+    coeffs: np.ndarray,
+    n_streams: int,
+    *,
+    channel_major: bool = False,
+):
     """Synchronized-fleet step: ``n_streams`` streams in phase lockstep.
 
     Fleet serving commonly feeds every stream the same number of frames
@@ -545,9 +551,17 @@ def make_fir_fleet_step_sync(config: FirConfig, coeffs: np.ndarray, n_streams: i
         s_len = n_blk * L
 
     def step(state: FirState, chunks, n_valid):
+        # channel_major=True takes [B, C, n] and skips the frames-major
+        # transpose (a full-chunk relayout per step); frames-major
+        # [B, n, C] matches the interleaved-audio convention.
         chunks = chunks.astype(jnp.float32)
-        _, n_in, _ = chunks.shape
-        assert chunks.shape == (B, n_in, C) and n_in <= config.input_capacity
+        if channel_major:
+            _, _, n_in = chunks.shape
+            assert chunks.shape == (B, C, n_in)
+        else:
+            _, n_in, _ = chunks.shape
+            assert chunks.shape == (B, n_in, C)
+        assert n_in <= config.input_capacity
         n_valid = jnp.minimum(jnp.asarray(n_valid, jnp.int32), n_in)
 
         buffer = state["buffer"].reshape(B * C, alloc)
@@ -557,9 +571,11 @@ def make_fir_fleet_step_sync(config: FirConfig, coeffs: np.ndarray, n_streams: i
         # ---- copy-in, shared offset ----
         to_copy = jnp.minimum(n_valid, valid_end - avail)
         mask = jnp.arange(n_in, dtype=jnp.int32) < to_copy
-        chunk_bc = jnp.where(
-            mask[None, :], jnp.transpose(chunks, (0, 2, 1)).reshape(B * C, n_in), 0.0
-        )
+        if channel_major:
+            flat = chunks.reshape(B * C, n_in)
+        else:
+            flat = jnp.transpose(chunks, (0, 2, 1)).reshape(B * C, n_in)
+        chunk_bc = jnp.where(mask[None, :], flat, 0.0)
         # see make_fir_step: slide only the valid window, static zero slack
         conc = jnp.concatenate([buffer[:, :valid_end], chunk_bc], axis=1)
         valid_part = jax.lax.dynamic_slice(

@@ -235,3 +235,33 @@ def test_state_checkpoint_resume():
     b.state = {k: jnp.asarray(v) for k, v in saved.items()}
     y2 = run_stream(b, x[3000:])
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_sync_fleet_channel_major_matches_frames_major():
+    """channel_major=True input layout computes the same stream outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    B, C = 3, 2
+    L, M = reduce_ratio(44100, 48000)
+    cfg = fe.FirConfig(channels=C, taps=32, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(32, Attenuation.Db90, 44100 / 48000)
+    coeffs = fe.fir_coefficients(32, Attenuation.Db90, cutoff)
+    step_fm = jax.jit(fe.make_fir_fleet_step_sync(cfg, coeffs, B))
+    step_cm = jax.jit(
+        fe.make_fir_fleet_step_sync(cfg, coeffs, B, channel_major=True)
+    )
+    st_a = fe.fir_fleet_init_sync(cfg, B)
+    st_b = fe.fir_fleet_init_sync(cfg, B)
+    rng = np.random.default_rng(2)
+    for _ in range(3):
+        chunks = rng.standard_normal((B, 400, C)).astype(np.float32)
+        st_a, out_a, ca, pa = step_fm(st_a, jnp.asarray(chunks), 400)
+        st_b, out_b, cb, pb = step_cm(
+            st_b, jnp.asarray(chunks.transpose(0, 2, 1)), 400
+        )
+        assert int(ca) == int(cb) and int(pa) == int(pb)
+        np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))

@@ -154,3 +154,12 @@ def test_cli_invalid_args(tmp_path):
     )
     assert proc.returncode == 1
     assert "Unsupported sample rate" in proc.stderr
+
+
+def test_profiling_timed():
+    from resampler_tpu.utils.profiling import timed
+
+    with timed("x") as t:
+        sum(range(10000))
+    assert t.seconds > 0
+    assert t.mibps(1 << 20) > 0
