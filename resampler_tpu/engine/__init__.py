@@ -4,7 +4,9 @@ from .fft import (
     FftConfig,
     FftState,
     ResamplerFft,
+    fft_fleet_init,
     fft_init,
+    make_fft_fleet_step,
     make_fft_step,
 )
 from .fir import (
@@ -25,7 +27,9 @@ __all__ = [
     "FftConfig",
     "FftState",
     "ResamplerFft",
+    "fft_fleet_init",
     "fft_init",
+    "make_fft_fleet_step",
     "make_fft_step",
     "FirConfig",
     "FirState",

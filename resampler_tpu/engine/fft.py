@@ -217,6 +217,43 @@ def make_fft_step(config: FftConfig, *, backend: str = "matmul"):
     return step
 
 
+def make_fft_fleet_step(config: FftConfig, n_streams: int):
+    """Fleet-wide FFT step: ``streams x channels`` folded into the row
+    dimension of ONE projection matmul.
+
+    A vmap of the per-stream step would batch ``n_streams`` tiny
+    ``[C, N] @ [N, 2M]`` matmuls; folding the fleet into the rows keeps
+    the MXU at full tile occupancy.  ``step(state, chunks [B, C, N]) ->
+    (state, out [B, C, M])``; state is ``{"overlap": [B, C, M]}``.
+    """
+    n_in = config.fft_size_input
+    n_out = config.fft_size_output
+    C = config.channels
+    B = n_streams
+    proj = jnp.asarray(get_projection_matrix(n_in, n_out))
+
+    def step(state: FftState, chunks):
+        x = chunks.astype(jnp.float32).reshape(B * C, n_in)
+        full = jnp.dot(
+            x,
+            proj,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH,  # see chunk_op note above
+        ).reshape(B, C, 2 * n_out)
+        out = full[:, :, :n_out] + state["overlap"]
+        return {"overlap": full[:, :, n_out:]}, out
+
+    return step
+
+
+def fft_fleet_init(config: FftConfig, n_streams: int) -> FftState:
+    return {
+        "overlap": jnp.zeros(
+            (n_streams, config.channels, config.fft_size_output), jnp.float32
+        )
+    }
+
+
 # --------------------------------------------------------------------------
 # Stateful wrapper — reference-parity public API
 # --------------------------------------------------------------------------

@@ -205,3 +205,29 @@ def test_overlap_state_checkpoint():
     out2 = np.zeros(b.chunk_size_output(), np.float32)
     b.resample(x2, out2)
     np.testing.assert_array_equal(ref, out2)
+
+
+def test_fleet_step_matches_vmapped():
+    """The fleet-flattened projection step equals vmapping the per-stream
+    step (bit-exact: same matmul rows, same order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine.fft import (
+        fft_fleet_init,
+        fft_init,
+        make_fft_fleet_step,
+    )
+
+    B, C = 3, 2
+    cfg = FftConfig(channels=C, fft_size_input=588, fft_size_output=1280)
+    s1 = jax.jit(jax.vmap(make_fft_step(cfg)))
+    s2 = jax.jit(make_fft_fleet_step(cfg, B))
+    st1 = jax.vmap(lambda _: fft_init(cfg))(jnp.arange(B))
+    st2 = fft_fleet_init(cfg, B)
+    rng = np.random.default_rng(8)
+    for _ in range(3):
+        x = jnp.asarray(rng.standard_normal((B, C, 588)), jnp.float32)
+        st1, o1 = s1(st1, x)
+        st2, o2 = s2(st2, x)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
