@@ -11,18 +11,30 @@ the XLA path's materialization of every intermediate.
 Semantics are identical to ``make_fir_step`` (differentially tested,
 bit-exact, in tests/test_pallas.py via interpret mode).
 
-STATUS: **experimental — interpret-mode correct; blocked on a Mosaic
-lowering gap on real TPU.**  The im2col view ``[C, N*L] -> [C, N, L]``
-needs a lane-splitting reshape with ``L`` not a multiple of 128, which
-``infer-vector-layout`` rejects ("unsupported shape cast"); the dynamic
-window moves already route through DMAs (Mosaic vector loads require
-128-aligned dynamic lane offsets).  Two further notes for a future
-revision: (a) the Pallas grid is sequential on the single v5e TensorCore,
-so the per-stream kernel must stay in the ~µs range for the fused design
-to beat XLA; (b) the synchronized-fleet XLA path
-(engine/fir.py make_fir_fleet_step_sync) reaches the same fusion goal for
-phase-locked fleets with one giant matmul and currently holds the
-throughput record.
+STATUS: **experimental — interpret-mode correct; blocked on Mosaic
+lowering gaps on real TPU.**  Findings so far (each fixed in this file,
+uncovering the next):
+
+1. Mosaic vector loads need 128-aligned dynamic lane offsets → all
+   dynamic windows routed through DMAs.  SOLVED.
+2. Value-level reshape ``[C, N*L] -> [C, N, L]`` is an unsupported lane
+   split → use REF-level ``ref.reshape`` (``tpu.memref_reshape``), which
+   views before the load.  SOLVED.
+3. Lane-concat of shifted slices trips "result/input offset mismatch on
+   non-concat dimension" → decompose the im2col contraction into n_blk
+   per-shift matmuls summed in f32.  SOLVED.
+4. CURRENT blocker: ``tpu.memref_slice`` of a VMEM ref at a DYNAMIC
+   minor-dim offset (the atlas window DMA source
+   ``a2_ref.at[pl.ds(i0, M), pl.ds(c0, span)]``).  Next attempt: keep
+   dynamically-windowed DMA sources in HBM (``pltpu.ANY`` specs) — HBM
+   DMA descriptors take arbitrary offsets; VMEM tiled memrefs do not.
+
+Design notes for that revision: (a) the Pallas grid is sequential on the
+single v5e TensorCore, so the per-stream kernel must stay in the ~µs
+range to beat XLA; (b) the synchronized-fleet XLA path
+(engine/fir.py make_fir_fleet_step_sync) already reaches the fusion goal
+for phase-locked fleets (59x reference measured) — this kernel matters
+for fleets with DIVERGENT per-stream phase state.
 
 (reference native analog: the hand-written SIMD convolution kernels,
 reference: src/fir/avx512.rs, SURVEY.md §2.6)
@@ -155,17 +167,24 @@ def make_fir_fleet_step_pallas(
 
         # ---- im2col + MXU matmul ----
         dma_r.wait()
-        blocks = region_ref[:, :].reshape(C, K + n_blk, L)
-        segs = jnp.concatenate(
-            [blocks[:, bb : bb + K, :] for bb in range(n_blk)], axis=2
-        )  # [C, K, s_len]
-        out = jax.lax.dot_general(
-            segs.reshape(C * K, s_len),
-            a_pad,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [C*K, M]
+        # value-level reshape [C, N*L] -> [C, N, L] is an unsupported lane
+        # split in Mosaic; the REF-level reshape (tpu.memref_reshape) takes
+        # the view before the load instead.
+        # Lane-concat of shifted views trips Mosaic layout offsets, so the
+        # im2col contraction is decomposed per shifted block:
+        #   out = sum_b blocks[:, b:b+K, :] . A[:, b*L:(b+1)*L]^T
+        blocks3 = region_ref.reshape(C, K + n_blk, L)
+        out = jnp.zeros((C * K, M), jnp.float32)
+        for bb in range(n_blk):
+            seg_b = blocks3[:, bb : bb + K, :].reshape(C * K, L)
+            a_b = a_pad[:, bb * L : (bb + 1) * L]
+            out = out + jax.lax.dot_general(
+                seg_b,
+                a_b,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [C*K, M]
         out = out.reshape(C, K, M)
         out = jnp.transpose(out, (1, 2, 0)).reshape(K * M, C)
         lane = jax.lax.broadcasted_iota(jnp.int32, (K * M, 1), 0)
