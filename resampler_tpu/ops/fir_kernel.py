@@ -23,18 +23,29 @@ uncovering the next):
 3. Lane-concat of shifted slices trips "result/input offset mismatch on
    non-concat dimension" → decompose the im2col contraction into n_blk
    per-shift matmuls summed in f32.  SOLVED.
-4. CURRENT blocker: ``tpu.memref_slice`` of a VMEM ref at a DYNAMIC
-   minor-dim offset (the atlas window DMA source
-   ``a2_ref.at[pl.ds(i0, M), pl.ds(c0, span)]``).  Next attempt: keep
-   dynamically-windowed DMA sources in HBM (``pltpu.ANY`` specs) — HBM
-   DMA descriptors take arbitrary offsets; VMEM tiled memrefs do not.
+4. VMEM ``tpu.memref_slice`` at dynamic minor offsets is rejected even
+   as a DMA source (and ``pltpu.ANY`` may still place small arrays in
+   VMEM), so every dynamic window became ``pltpu.roll`` with a traced
+   shift (``tpu.dynamic_rotate``) + static slice.  Requirements found:
+   rotate widths must be whole 128-lane tiles; dynamic SUBLANE offsets
+   must be 8-aligned (handled with an aligned load + 8-way
+   ``lax.switch`` remainder).  WITH THIS THE KERNEL COMPILES AND RUNS
+   ON REAL TPU.
 
-Design notes for that revision: (a) the Pallas grid is sequential on the
-single v5e TensorCore, so the per-stream kernel must stay in the ~µs
-range to beat XLA; (b) the synchronized-fleet XLA path
-(engine/fir.py make_fir_fleet_step_sync) already reaches the fusion goal
-for phase-locked fleets (59x reference measured) — this kernel matters
-for fleets with DIVERGENT per-stream phase state.
+5. REMAINING: on-device numerics diverge from interpret mode (produced
+   counts match; values are shifted — suspect a ``dynamic_rotate``
+   direction/wrap discrepancy between the interpreter and the Mosaic
+   lowering; bisect with a standalone rotate probe).
+
+VERDICT from the first on-device run: ~814 Msamples/s at B=512 — BELOW
+the plain vmapped XLA step (1229) and far below the synchronized XLA
+fleet (8084).  The Pallas grid executes sequentially on the single v5e
+TensorCore, so per-stream fusion pays ~10 us/stream of serial rolls and
+masks that the batched XLA path amortizes across the fleet.  Conclusion:
+on single-TensorCore parts this kernel is NOT the path to beat XLA here;
+it remains useful as (a) a worked catalog of Mosaic dynamic-indexing
+workarounds and (b) a starting point if multi-core grids or cheaper
+dynamic windows land.
 
 (reference native analog: the hand-written SIMD convolution kernels,
 reference: src/fir/avx512.rs, SURVEY.md §2.6)
@@ -66,11 +77,17 @@ def _build_atlas(config: FirConfig, coeffs: np.ndarray) -> np.ndarray:
     frac = ((pf - p1 * M) / M).astype(np.float32)[:, None]
     w_resid = (1.0 - frac) * table[p1] + frac * table[p2]
 
-    i = np.arange(2 * M, dtype=np.int64)
-    a2 = np.zeros((2 * M, 2 * L + taps + 1), np.float32)
-    for ii in range(2 * M):
-        off = int((i[ii] * L) // M)
-        a2[ii, off : off + taps] = w_resid[int((i[ii] * L) % M)]
+    # 2M + 8 rows: the aligned-sublane load below reads [i0_al, i0_al+M+8).
+    # Width padded to a multiple of 128: tpu.dynamic_rotate needs whole
+    # lane tiles; the rotation wrap lands beyond the span that is used.
+    rows = 2 * M + 8
+    width = -(-(2 * L + taps + 1) // 128) * 128
+    i = np.arange(rows, dtype=np.int64)
+    a2 = np.zeros((rows, width), np.float32)
+    for ii in range(rows):
+        off = int(((i[ii] % (2 * M)) * L) // M) if i[ii] < 2 * M else 0
+        if i[ii] < 2 * M:
+            a2[ii, off : off + taps] = w_resid[int((i[ii] * L) % M)]
     return a2
 
 
@@ -99,7 +116,8 @@ def make_fir_fleet_step_pallas(
     a2_rows, a2_cols = a2_np.shape
     l_inv = pow(L, -1, M) if M > 1 else 0
     valid_end = config.input_capacity
-    ext_cols = valid_end + n_in + (alloc - valid_end)
+    # rounded up to whole 128-lane tiles for tpu.dynamic_rotate
+    ext_cols = -(-(valid_end + n_in + (alloc - valid_end)) // 128) * 128
 
     region_cols = (K + n_blk) * L
 
@@ -108,7 +126,7 @@ def make_fir_fleet_step_pallas(
         buf_ref, chunk_ref, a2_ref,                  # VMEM blocks
         buf_out_ref, out_ref, avail_out_ref, pos_out_ref,
         consumed_ref, produced_ref,
-        ext_ref, region_ref, a_ref, sems,            # VMEM scratch + DMA sems
+        region_ref,                                  # VMEM scratch
     ):
         b = pl.program_id(0)
         avail = avail_ref[b]
@@ -116,19 +134,26 @@ def make_fir_fleet_step_pallas(
         n_valid = jnp.minimum(nvalid_ref[b], n_in)
         budget = budget_ref[b]
 
-        # ---- copy-in: end-aligned concat + window ----
-        # Mosaic vector loads need 128-aligned dynamic lane offsets, so
-        # every dynamic-offset window moves via DMA (the DMA engine
-        # handles arbitrary offsets): stage the extended array once, then
-        # DMA out the re-based buffer and the convolution region.
+        # ---- copy-in: end-aligned concat + dynamic-rotate window ----
+        # Mosaic rejects dynamic minor-dim offsets in vector loads, memref
+        # slices, and (for VMEM) DMA sources — but tpu.dynamic_rotate
+        # (pltpu.roll with a traced shift) handles arbitrary lane shifts,
+        # so every dynamic window is a roll + static slice.
         to_copy = jnp.minimum(n_valid, valid_end - avail)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n_in), 1)
         chunk_masked = jnp.where(col < to_copy, chunk_ref[0].T, 0.0)
-        ext_ref[:, :valid_end] = buf_ref[0, :, :valid_end]
-        ext_ref[:, valid_end : valid_end + n_in] = chunk_masked
-        ext_ref[:, valid_end + n_in :] = jnp.zeros(
-            (C, ext_cols - valid_end - n_in), jnp.float32
-        )
+        ext = jnp.concatenate(
+            [
+                buf_ref[0, :, :valid_end],
+                chunk_masked,
+                jnp.zeros(
+                    (C, ext_cols - valid_end - n_in), jnp.float32
+                ),
+            ],
+            axis=1,
+        )  # [C, ext_cols]
+        new_buf = pltpu.roll(ext, -to_copy, axis=1)[:, :alloc]
+        buf_out_ref[0] = new_buf
         avail = avail + to_copy
 
         # ---- schedule ----
@@ -136,41 +161,35 @@ def make_fir_fleet_step_pallas(
         n_from_input = jnp.where(limit > 0, (limit + L - 1) // L, 0)
         n_out = jnp.clip(n_from_input, 0, budget)
 
-        # ---- banded-kernel atlas window (DMA: c0 is lane-unaligned) ----
+        # ---- banded-kernel atlas window (row slice + lane rotate) ----
         d_min = pos_num // M
         r = pos_num - d_min * M
         i0 = (r * l_inv) % M
         c0 = (i0 * L) // M
-        dma_a = pltpu.make_async_copy(
-            a2_ref.at[pl.ds(i0, M), pl.ds(c0, span)], a_ref, sems.at[0]
+        # dynamic sublane offsets must be 8-aligned: load an aligned
+        # 8-row-padded window, then select the sub-8 remainder with an
+        # 8-way switch of static slices
+        i0_al = pl.multiple_of((i0 // 8) * 8, 8)
+        rem_i = i0 - i0_al
+        a_big = a2_ref[pl.ds(i0_al, M + 8), :]
+        a_rows = jax.lax.switch(
+            rem_i, [lambda k=k: a_big[k : k + M, :] for k in range(8)]
         )
-        dma_a.start()
-
-        # ---- convolution region + re-based buffer (DMAs) ----
-        read_pos = valid_end - avail
-        base = read_pos + d_min
-        dma_r = pltpu.make_async_copy(
-            ext_ref.at[:, pl.ds(to_copy + base, region_cols)],
-            region_ref,
-            sems.at[1],
-        )
-        dma_r.start()
-        dma_b = pltpu.make_async_copy(
-            ext_ref.at[:, pl.ds(to_copy, alloc)], buf_out_ref.at[0], sems.at[2]
-        )
-        dma_b.start()
-
-        dma_a.wait()
+        a_win = pltpu.roll(a_rows, -c0, axis=1)[:, :span]
         a_pad = jnp.concatenate(
-            [a_ref[:, :], jnp.zeros((M, s_len - span), jnp.float32)], axis=1
+            [a_win, jnp.zeros((M, s_len - span), jnp.float32)], axis=1
         )
 
         # ---- im2col + MXU matmul ----
-        dma_r.wait()
-        # value-level reshape [C, N*L] -> [C, N, L] is an unsupported lane
-        # split in Mosaic; the REF-level reshape (tpu.memref_reshape) takes
-        # the view before the load instead.
-        # Lane-concat of shifted views trips Mosaic layout offsets, so the
+        read_pos = valid_end - avail
+        base = read_pos + d_min
+        # stage the region through a scratch ref so the [C, N*L] ->
+        # [C, N, L] view can use the REF-level reshape (value-level lane
+        # splits are unsupported)
+        region_ref[:, :] = pltpu.roll(ext, -(to_copy + base), axis=1)[
+            :, :region_cols
+        ]
+        # lane-concat of shifted views trips Mosaic layout offsets, so the
         # im2col contraction is decomposed per shifted block:
         #   out = sum_b blocks[:, b:b+K, :] . A[:, b*L:(b+1)*L]^T
         blocks3 = region_ref.reshape(C, K + n_blk, L)
@@ -202,7 +221,6 @@ def make_fir_fleet_step_pallas(
         pos_out_ref[b] = pos_num
         consumed_ref[b] = to_copy
         produced_ref[b] = n_out
-        dma_b.wait()
 
     def step(buffers, chunks, avail, pos_num, n_valid, budget):
         B = buffers.shape[0]
@@ -238,10 +256,7 @@ def make_fir_fleet_step_pallas(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((C, ext_cols), jnp.float32),
                 pltpu.VMEM((C, region_cols), jnp.float32),
-                pltpu.VMEM((M, span), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
             ],
         )
         return pl.pallas_call(
