@@ -39,11 +39,27 @@ def stream_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(tree, mesh: Mesh):
     """Place every array in ``tree`` with its leading axis sharded over the
-    stream axis of ``mesh``."""
-    sharding = stream_sharding(mesh)
+    stream axis of ``mesh``.
+
+    Rank-aware: leaves that cannot carry a stream axis — scalars/0-d
+    arrays (e.g. the synchronized fleet's shared ``available_frames`` /
+    ``pos_num`` schedule scalars) and leaves whose leading dim does not
+    divide over the mesh — are fully replicated instead.  Without this the
+    sync-fleet state (mixed ``[B, ...]`` buffers and shared scalars) could
+    not be mesh-sharded through the public wrappers.
+    """
+    sharded = stream_sharding(mesh)
+    replicated = NamedSharding(mesh, P())
+    n = mesh.size
 
     def place(x):
-        return jax.device_put(x, sharding)
+        ndim = getattr(x, "ndim", None)
+        if ndim is None:
+            ndim = np.ndim(x)
+        shape = getattr(x, "shape", ())
+        if ndim == 0 or (len(shape) > 0 and shape[0] % n != 0):
+            return jax.device_put(x, replicated)
+        return jax.device_put(x, sharded)
 
     return jax.tree.map(place, tree)
 

@@ -117,6 +117,38 @@ def test_graft_entry_points():
     mod.dryrun_multichip(8)
 
 
+def test_batched_fir_sync_sharded_over_mesh():
+    """The synchronized (fastest-serving) fleet shards through the public
+    wrapper: mixed-rank state ([B,...] buffers + shared schedule scalars)
+    is placed rank-aware by shard_batch, and results match the unsharded
+    sync fleet exactly across steps."""
+    B, C = 8, 2
+    rng = np.random.default_rng(7)
+    plain = BatchedResamplerFir(
+        B, C, 44100, 48000, Latency.Sample32, Attenuation.Db90,
+        synchronized=True,
+    )
+    sharded = BatchedResamplerFir(
+        B, C, 44100, 48000, Latency.Sample32, Attenuation.Db90,
+        synchronized=True, mesh=stream_mesh(),
+    )
+
+    for _ in range(3):
+        chunks = rng.standard_normal((B, 256, C)).astype(np.float32)
+        out_a, cons_a, prod_a, _ = plain.resample(chunks)
+        out_b, cons_b, prod_b, _ = sharded.resample(chunks)
+        np.testing.assert_array_equal(np.asarray(cons_a), np.asarray(cons_b))
+        np.testing.assert_array_equal(np.asarray(prod_a), np.asarray(prod_b))
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), atol=1e-5
+        )
+
+    # the stream buffer really is distributed; the schedule scalars are
+    # replicated (they are shared across the fleet by construction)
+    assert len(sharded.state["buffer"].sharding.device_set) == 8
+    assert sharded.state["pos_num"].sharding.is_fully_replicated
+
+
 def test_synchronized_fleet_matches_vmapped():
     """Phase-locked fleet (one fleet-wide matmul) equals the general
     vmapped fleet when every stream gets the same chunk sizes."""
