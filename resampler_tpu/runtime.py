@@ -57,10 +57,14 @@ class StreamingFleet:
             attenuation,
             mesh=mesh,
         )
-        # unconsumed frames awaiting the next device step, frames-major
-        self._carry = [
-            np.zeros((0, channels), np.float32) for _ in range(n_streams)
-        ]
+        # Unconsumed frames awaiting the next device step, staged in ONE
+        # left-aligned [B, cap, C] array + per-stream lengths so every
+        # step's carry handling is a few whole-batch numpy ops instead of
+        # an O(B) python loop of per-stream concats (which would dominate
+        # the ~ms device step at fleet sizes >=512).
+        self._carry = np.zeros((n_streams, 2 * chunk_frames, channels),
+                               np.float32)
+        self._carry_len = np.zeros(n_streams, np.int64)
 
     def push(self, stream: int, interleaved: np.ndarray) -> int:
         """Queue interleaved f32 audio for one stream (thread-safe with the
@@ -74,41 +78,86 @@ class StreamingFleet:
     def pending(self, stream: int) -> int:
         """Values queued (pool + carry) but not yet consumed on device."""
         return int(
-            self.pool.pending(stream) + self._carry[stream].size
+            self.pool.pending(stream)
+            + self._carry_len[stream] * self.channels
         )
+
+    def _ensure_carry_capacity(self, needed: int) -> None:
+        cap = self._carry.shape[1]
+        if needed <= cap:
+            return
+        while cap < needed:
+            cap *= 2
+        grown = np.zeros((self.n_streams, cap, self.channels), np.float32)
+        grown[:, : self._carry.shape[1]] = self._carry
+        self._carry = grown
 
     def step(self) -> list[np.ndarray]:
         """Drain one batch (carry first, then pool), resample all streams
-        on device, return each stream's newly produced samples."""
-        drained, pool_valid = self.pool.fill(self.chunk_frames)
+        on device, return each stream's newly produced samples.
 
-        batch = np.zeros(
-            (self.n_streams, self.chunk_frames, self.channels), np.float32
+        All host staging is whole-batch numpy (one ``take_along_axis``
+        gather per reshuffle) — no per-stream python work, so the host
+        side stays far below the device step cost even at fleets >=1024.
+        """
+        B, n, C = self.n_streams, self.chunk_frames, self.channels
+        drained, pool_valid = self.pool.fill(n)
+        pool_valid = np.asarray(pool_valid, np.int64)
+        carry_len = self._carry_len
+
+        # combined = [carry | drained], valid length per stream
+        self._ensure_carry_capacity(int(carry_len.max(initial=0)) + n)
+        cap = self._carry.shape[1]
+        combined = np.concatenate([self._carry, drained], axis=1)
+        # drained data starts at column `cap`, but logically belongs right
+        # after the carry: gather it into place in the same pass as the
+        # batch/carry split below.
+        lens = carry_len + pool_valid
+        take = np.minimum(lens, n)
+
+        pos = np.arange(cap + n)[None, :]
+        src = np.where(
+            pos < carry_len[:, None], pos, cap + pos - carry_len[:, None]
         )
-        n_valid = np.zeros(self.n_streams, np.int32)
-        for s in range(self.n_streams):
-            combined = np.concatenate(
-                [self._carry[s], drained[s, : pool_valid[s]]]
-            )
-            take = min(len(combined), self.chunk_frames)
-            batch[s, :take] = combined[:take]
-            n_valid[s] = take
-            self._carry[s] = combined[take:]
+        np.clip(src, 0, cap + n - 1, out=src)
+        packed = np.take_along_axis(combined, src[:, :, None], axis=1)
+        lane = np.arange(n)[None, :, None]
+        batch = np.where(lane < take[:, None, None], packed[:, :n], 0.0)
+        n_valid = take.astype(np.int32)
+
+        # leftover after the take, shifted to the front of the carry
+        rest_idx = take[:, None] + np.arange(cap)[None, :]
+        np.clip(rest_idx, 0, cap + n - 1, out=rest_idx)
+        rest = np.take_along_axis(packed, rest_idx[:, :, None], axis=1)
+        rest_len = lens - take
 
         out, consumed, produced, _peak = self.engine.resample(batch, n_valid)
         out = np.asarray(out)
-        consumed = np.asarray(consumed)
-        produced = np.asarray(produced)
+        consumed = np.asarray(consumed, np.int64)
+        produced = np.asarray(produced, np.int64)
 
-        results: list[np.ndarray] = []
-        for s in range(self.n_streams):
-            c, v = int(consumed[s]), int(n_valid[s])
-            if c < v:  # device stream buffer full: keep the tail for later
-                self._carry[s] = np.concatenate(
-                    [batch[s, c:v], self._carry[s]]
-                )
-            results.append(out[s, : int(produced[s])].reshape(-1).copy())
-        return results
+        # frames the device couldn't accept go back to the FRONT of the
+        # carry: carry' = [batch[consumed:valid] | rest]
+        tail_len = n_valid - consumed
+        new_len = tail_len + rest_len
+        self._ensure_carry_capacity(int(new_len.max(initial=0)))
+        cap = self._carry.shape[1]
+        pos = np.arange(cap)[None, :]
+        both = np.concatenate([batch, rest], axis=1)
+        src = np.where(
+            pos < tail_len[:, None],
+            consumed[:, None] + pos,
+            n + pos - tail_len[:, None],
+        )
+        np.clip(src, 0, both.shape[1] - 1, out=src)
+        carry = np.take_along_axis(both, src[:, :, None], axis=1)
+        carry[pos >= new_len[:, None]] = 0.0
+        self._carry = carry
+        self._carry_len = new_len
+
+        return [
+            out[s, : int(produced[s])].reshape(-1).copy() for s in range(B)
+        ]
 
     def drain(self) -> list[np.ndarray]:
         """Step until no stream makes progress; per-stream concatenated
