@@ -87,3 +87,63 @@ class ScalarFir:
 
         produced = np.array(out, np.float64).reshape(-1, C) if out else np.zeros((0, C))
         return to_copy * C, produced.reshape(-1)
+
+
+class ScalarFirF64(ScalarFir):
+    """Bit-faithful model of the reference's **f64 position accumulator**
+    (reference: src/resampler_fir.rs:191-194, 542-615): ``position`` is an
+    f64 advanced by ``ratio = in_hz/out_hz`` per output sample, with
+    ``input_offset = floor(position)``, ``phase_f = fract(position)*1024``,
+    ``phase2 = min(phase1+1, 1023)`` clamping, and f64 consume arithmetic.
+
+    Exists to QUANTIFY where the exact-rational engine diverges from the
+    reference semantics (see test_fir_engine.py
+    ``test_f64_accumulator_divergence`` and PARITY.md §2.3): rounding in
+    the repeated ``position += ratio`` can land ~1 ulp below an exact
+    integer position, picking the clamped pair (1023, 1023) at offset k
+    where the exact schedule picks phase 0 at offset k+1.
+    """
+
+    def __init__(self, channels, in_hz, out_hz, taps, beta):
+        super().__init__(channels, in_hz, out_hz, taps, beta)
+        self.ratio = float(in_hz) / float(out_hz)
+        self.position = 0.0
+
+    def resample(self, input_interleaved, out_capacity_frames):
+        C = self.channels
+        frames = np.asarray(input_interleaved, np.float64).reshape(-1, C)
+        n_in = len(frames)
+
+        write_pos = self.read_position + self.available
+        to_copy = min(n_in, BUFFER_SIZE - write_pos, INPUT_CAPACITY - self.available)
+        self.buf[:, write_pos : write_pos + to_copy] = frames[:to_copy].T
+        self.available += to_copy
+
+        out = []
+        while True:
+            off = int(math.floor(self.position))
+            if off + self.taps > self.available or len(out) >= out_capacity_frames:
+                break
+            phase_f = (self.position - off) * PHASES
+            p1 = int(phase_f)
+            p2 = min(p1 + 1, PHASES - 1)
+            frac = phase_f - p1
+            pos = self.read_position + off
+            window = self.buf[:, pos : pos + self.taps]
+            w = (1.0 - frac) * self.coeffs[p1] + frac * self.coeffs[p2]
+            out.append(window @ w)
+            self.position += self.ratio
+
+        consumed = min(int(math.floor(self.position)), self.available)
+        self.read_position += consumed
+        self.available -= consumed
+        self.position -= consumed
+
+        if self.read_position > INPUT_CAPACITY:
+            self.buf[:, : self.available] = self.buf[
+                :, self.read_position : self.read_position + self.available
+            ]
+            self.read_position = 0
+
+        produced = np.array(out, np.float64).reshape(-1, C) if out else np.zeros((0, C))
+        return to_copy * C, produced.reshape(-1)

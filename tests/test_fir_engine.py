@@ -7,7 +7,7 @@ import pytest
 from resampler_tpu import Attenuation, Latency, ResamplerFir, SampleRate
 from resampler_tpu.types import InvalidInputBufferSize, InvalidOutputBufferSize
 
-from reference_models import ScalarFir
+from reference_models import ScalarFir, ScalarFirF64
 
 
 def run_stream(resampler, x, chunk=512):
@@ -80,6 +80,57 @@ def test_differential_vs_scalar_model(in_hz, out_hz, latency):
     np.testing.assert_allclose(ya, yb, atol=2e-5, rtol=1e-4)
 
 
+def test_f64_accumulator_divergence():
+    """Quantifies exactly where the engine's exact rational accumulator
+    diverges from the reference's f64 ``position += ratio`` semantics
+    (reference: src/resampler_fir.rs:191-194, 589) — the honest-parity
+    statement cited from PARITY.md §2.3.
+
+    For 44.1->48 kHz (L/M = 147/160) the exact position is an integer every
+    160th output.  f64 rounding can land ~1 ulp below such an integer,
+    making the reference pick the clamped phase pair (1023, 1023) at offset
+    k where the exact schedule picks phase 0 at offset k+1.  The blended
+    row is continuous in phase everywhere EXCEPT across that clamp, so:
+
+    - lanes with i % 160 != 0 must agree to f64 noise (<1e-6), and
+    - boundary lanes differ by at most the one-phase-step wobble (<2e-3
+      at unit signal amplitude).
+    """
+    in_hz, out_hz, taps = 44100, 48000, 64
+    M = 160  # reduced output rate for this pair
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(2 * 40000).astype(np.float32) * 0.5
+
+    exact = ScalarFir(1, in_hz, out_hz, taps, 10.0)
+    f64 = ScalarFirF64(1, in_hz, out_hz, taps, 10.0)
+
+    def run(model):
+        pieces, offset = [], 0
+        mono = x[::2].copy()
+        while offset < mono.size:
+            end = min(offset + 512, mono.size)
+            c, y = model.resample(mono[offset:end], out_capacity_frames=4096)
+            pieces.append(y)
+            offset += c
+            if c == 0 and y.size == 0:
+                break
+        return np.concatenate(pieces)
+
+    ya, yb = run(exact), run(f64)
+    n = min(ya.size, yb.size)
+    assert abs(ya.size - yb.size) <= 1  # counts drift by at most one output
+    diff = np.abs(ya[:n] - yb[:n])
+
+    lanes = np.arange(n)
+    boundary = lanes % M == 0
+    # everywhere off the exact-integer-position lanes the two accumulators
+    # are numerically identical
+    assert diff[~boundary].max() < 1e-6
+    # at the boundary lanes the divergence is bounded by the one-phase-step
+    # wobble of the clamped pair (~1e-3 relative at 0.5 amplitude)
+    assert diff[boundary].max() < 2e-3
+
+
 def test_stream_invariance():
     """Output is independent of how the input is chunked."""
     rng = np.random.default_rng(0)
@@ -145,6 +196,9 @@ def _measure_stopband_attenuation(in_rate, out_rate):
     [
         (SampleRate.Hz22050, SampleRate.Hz44100),
         (SampleRate.Hz22050, SampleRate.Hz48000),
+        # coprime pair (reduced M = 88201 > MAX_PERIOD): exercises the
+        # general GATHER path's quality, not just its bookkeeping
+        (44100, 88201),
     ],
 )
 def test_stopband_attenuation(in_rate, out_rate):

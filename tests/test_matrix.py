@@ -39,29 +39,15 @@ def test_fft_matrix_dc(in_rate, out_rate):
     np.testing.assert_allclose(out[lo:hi], 0.25, atol=0.02)
 
 
-# FIR across the matrix: representative pairs covering every family
-# transition direction and extreme ratios; stereo.
-FIR_PAIRS = [
-    (SampleRate.Hz16000, SampleRate.Hz48000),
-    (SampleRate.Hz48000, SampleRate.Hz16000),
-    (SampleRate.Hz22050, SampleRate.Hz48000),
-    (SampleRate.Hz48000, SampleRate.Hz22050),
-    (SampleRate.Hz16000, SampleRate.Hz44100),
-    (SampleRate.Hz44100, SampleRate.Hz16000),
-    (SampleRate.Hz44100, SampleRate.Hz48000),
-    (SampleRate.Hz48000, SampleRate.Hz44100),
-    (SampleRate.Hz16000, SampleRate.Hz384000),
-    (SampleRate.Hz384000, SampleRate.Hz16000),
-    (SampleRate.Hz88200, SampleRate.Hz96000),
-    (SampleRate.Hz192000, SampleRate.Hz176400),
-]
-
-
-@pytest.mark.parametrize("in_rate,out_rate", FIR_PAIRS)
+# FIR across the FULL 10x10 matrix (the FIR engine accepts arbitrary
+# rates, so every constructible pair is executed; same cheap invariants as
+# the FFT sweep — reference test strategy: SURVEY.md §4 item 4).
+@pytest.mark.parametrize("in_rate", ALL_RATES)
+@pytest.mark.parametrize("out_rate", ALL_RATES)
 def test_fir_matrix_sine_stereo(in_rate, out_rate):
     in_hz, out_hz = int(in_rate), int(out_rate)
     r = ResamplerFir(2, in_rate, out_rate, Latency.Sample32, Attenuation.Db90)
-    n = 6000
+    n = 4000  # one input bucket -> one compiled shape per rate pair
     t = np.arange(n) / in_hz
     freq = min(in_hz, out_hz) / 10  # safely in passband
     frames = np.stack(
@@ -74,5 +60,9 @@ def test_fir_matrix_sine_stereo(in_rate, out_rate):
     assert abs(len(frames_out) - expected) <= out_hz / in_hz + 2
     assert np.isfinite(y).all()
     steady = frames_out[len(frames_out) // 4 : -len(frames_out) // 4]
-    assert np.abs(steady[:, 0]).max() == pytest.approx(0.5, abs=0.02)
+    # RMS-based amplitude: immune to the output grid sampling the sine at
+    # phases that miss the peak (e.g. identity pairs, where the period is
+    # exactly 10 samples and max |sin| over the grid is 0.951)
+    amp = np.sqrt(2.0) * np.std(steady[:, 0] - np.mean(steady[:, 0]))
+    assert amp == pytest.approx(0.5, abs=0.02)
     np.testing.assert_allclose(steady[:, 1], 0.25, atol=0.02)

@@ -1,0 +1,133 @@
+"""Device-numerics smoke tests: the CPU suite's key differentials and
+quality gates, executed on the real accelerator.
+
+Each test mirrors a tests/ counterpart (cited inline) but with few,
+small jit shapes — a remote-TPU compile is ~40 s per shape."""
+
+import numpy as np
+import pytest
+
+from resampler_tpu import (
+    Attenuation,
+    Latency,
+    ResamplerFft,
+    ResamplerFir,
+    SampleRate,
+)
+
+from reference_models import ScalarFir
+
+
+def run_stream(resampler, x, chunk):
+    out_buf = np.zeros(resampler.buffer_size_output(), np.float32)
+    pieces, offset = [], 0
+    while offset < x.size:
+        end = min(offset + chunk, x.size)
+        consumed, produced = resampler.resample(x[offset:end], out_buf)
+        pieces.append(out_buf[:produced].copy())
+        offset += consumed
+        if consumed == 0 and produced == 0:
+            break
+    return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+
+
+def test_fir_differential_vs_scalar_model_on_device():
+    """tests/test_fir_engine.py::test_differential_vs_scalar_model, one
+    rate pair, fixed chunk size (one compiled shape)."""
+    rng = np.random.default_rng(42)
+    C = 2
+    x = (rng.standard_normal(2 * 6000) * 0.5).astype(np.float32)
+
+    ours = ResamplerFir(C, 44100, 48000, Latency.Sample64, Attenuation.Db90)
+    theirs = ScalarFir(C, 44100, 48000, Latency.Sample64.taps, 10.0)
+
+    ya = run_stream(ours, x, chunk=2 * 2048)
+    pieces, offset = [], 0
+    while offset < x.size:
+        end = min(offset + 2 * 2048, x.size)
+        cb, yb = theirs.resample(x[offset:end], out_capacity_frames=1 << 16)
+        pieces.append(yb)
+        offset += cb
+        if cb == 0 and yb.size == 0:
+            break
+    yb = np.concatenate(pieces)
+    assert ya.size == yb.size
+    # device MXU accumulation order differs from the f64 scalar model;
+    # Precision.HIGHEST keeps this at f32-noise level
+    np.testing.assert_allclose(ya, yb, atol=2e-5, rtol=1e-4)
+
+
+def test_fir_stopband_on_device():
+    """tests/test_fir_engine.py::test_stopband_attenuation — the alias
+    rejection that silently drops to ~47 dB if any MXU op loses its
+    explicit precision= (the round-1 bf16 trap)."""
+    in_hz, out_hz = 22050, 48000
+    n = 30000
+    x = np.zeros(n, np.float32)
+    x[n // 2] = 1.0
+    r = ResamplerFir(1, in_hz, out_hz, Latency.Sample64, Attenuation.Db90)
+    y = run_stream(r, x, chunk=2048)
+
+    peak = int(np.argmax(np.abs(y)))
+    w = int(out_hz * 0.1)
+    s = max(peak - w // 2, 0)
+    spec = np.fft.rfft(y[s : s + w], 8192)
+    mag = 20 * np.log10(np.maximum(np.abs(spec), 1e-10))
+
+    def b(f):
+        return round(f / out_hz * 8192)
+
+    nyq = in_hz / 2
+    att = (
+        mag[b(20.0) : b(nyq * 0.9) + 1].max()
+        - mag[b(nyq * 1.1) : b(out_hz / 2 * 0.95) + 1].max()
+    )
+    assert att >= 90.0, f"on-device stopband {att:.1f} dB"
+
+
+def test_fft_stopband_on_device():
+    """tests/test_fft_engine.py stopband gate on the matmul backend (the
+    production TPU path, Precision.HIGH bf16x3)."""
+    rf = ResamplerFft(2, SampleRate.Hz22050, SampleRate.Hz48000)
+    x = np.zeros(8 * rf.chunk_size_input(), np.float32)
+    x[len(x) // 2 - (len(x) // 2) % 2] = 1.0
+    y = rf.process(x)[0::2]
+    peak = int(np.argmax(np.abs(y)))
+    w = int(48000 * 0.1)
+    s = max(peak - w // 2, 0)
+    spec = np.fft.rfft(y[s : s + w], 1 << 17)
+    mag = 20 * np.log10(np.maximum(np.abs(spec), 1e-12))
+
+    def b(f):
+        return round(f / 48000 * (1 << 17))
+
+    nyq = 22050 / 2
+    att = (
+        mag[b(20.0) : b(nyq * 0.9) + 1].max()
+        - mag[b(nyq * 1.1) : b(48000 / 2 * 0.95) + 1].max()
+    )
+    assert att >= 99.0, f"on-device FFT stopband {att:.1f} dB"
+
+
+def test_fft_matmul_matches_host_reference_on_device():
+    """One chunk through the device projector equals the f64 host
+    pipeline (mirrors tests/test_fft_engine.py backend cross-check, but
+    against numpy so no complex dtypes touch the device)."""
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fft as fft_engine
+
+    cfg = fft_engine.FftConfig(
+        channels=2, fft_size_input=1176, fft_size_output=1280
+    )
+    step = fft_engine.make_fft_step(cfg)
+    state = fft_engine.fft_init(cfg)
+    rng = np.random.default_rng(5)
+    chunk = rng.standard_normal((2, 1176)).astype(np.float32)
+
+    _, out = step(state, jnp.asarray(chunk))
+
+    proj = fft_engine.get_projection_matrix(1176, 1280).astype(np.float64)
+    expected = (chunk.astype(np.float64) @ proj)[:, :1280]
+    # bf16x3 arithmetic noise floor ~-106 dB of full scale
+    np.testing.assert_allclose(np.asarray(out), expected, atol=5e-5)
