@@ -182,7 +182,7 @@ class BatchedResamplerFft:
             return new_state, out
 
         self._step = jax.jit(batched_step, donate_argnums=0)
-        state = jax.vmap(lambda _: fft_engine.fft_init(self._config))(
+        state = jax.vmap(lambda _: fft_engine.fft_init(self._config, backend))(
             jnp.arange(n_streams)
         )
         self._state = shard_batch(state, mesh) if mesh is not None else state

@@ -27,6 +27,7 @@ engine jits, vmaps (multi-stream), and shards like the FIR engine.
 from __future__ import annotations
 
 import dataclasses
+import math
 import threading
 
 import jax
@@ -47,7 +48,11 @@ __all__ = [
     "FftState",
     "fft_init",
     "make_fft_step",
+    "make_fft_fleet_step",
+    "fft_fleet_init",
     "spectral_projection_matrix",
+    "input_domain_conv_operator",
+    "conv_backend_viable",
     "fft_filter_spectrum",
     "ResamplerFft",
 ]
@@ -72,16 +77,33 @@ class FftConfig:
         return self.fft_size_input // 2
 
 
-#: Overlap-add carry pytree: ``{"overlap": f32[C, M]}``.
+#: Carry pytree: ``{"overlap": f32[C, M]}`` for the matmul/fft backends,
+#: ``{"prev": f32[C, N]}`` (the previous chunk) for the conv backend —
+#: mathematically the same information (`overlap = prev @ T[:, M:]`).
 FftState = dict
 
 
-def fft_init(config: FftConfig) -> FftState:
+def fft_init(config: FftConfig, backend: str = "matmul") -> FftState:
+    backend = _resolve_backend(config, backend)
+    if backend == "conv":
+        return {
+            "prev": jnp.zeros(
+                (config.channels, config.fft_size_input), jnp.float32
+            )
+        }
     return {
         "overlap": jnp.zeros(
             (config.channels, config.fft_size_output), jnp.float32
         )
     }
+
+
+def _resolve_backend(config: FftConfig, backend: str) -> str:
+    if backend == "auto":
+        # measured on v5e-1: the dense projector matmul beats the conv
+        # lowering at every batch size probed (experiments/fft_conv_probe)
+        return "matmul"
+    return backend
 
 
 # --------------------------------------------------------------------------
@@ -139,6 +161,57 @@ def spectral_projection_matrix(n_in: int, n_out: int) -> np.ndarray:
     return np.ascontiguousarray(time, dtype=np.float32)
 
 
+def input_domain_conv_operator(n_in: int, n_out: int) -> np.ndarray:
+    """The projector refactored as a **channelized strided convolution** —
+    the FLOP-reduced production form (round 2).
+
+    Write the chunk pipeline in the input domain:
+    ``out_t = x_t @ A + x_{t-1} @ B`` with ``A = T[:, :M]``, ``B = T[:, M:]``
+    (the overlap-add carry is just the previous chunk), i.e.
+    ``out_t = [x_{t-1}; x_t] @ T2`` with ``T2 = [B; A]`` of shape ``[2N, M]``.
+    Because the underlying kernel is time-invariant and the planner
+    guarantees ``N/M = L'/M'`` with ``N = g*L'``, T2 has the exact shift
+    structure ``T2[i + L', j + M'] = T2[i, j]`` (verified to ~1e-11) and
+    each column's support spans < ``(g+1)*L'`` rows (entries beyond are
+    < 1.2e-7 of max — below the f32 design floor).  So the matmul is a
+    banded Toeplitz operator, which maps onto the MXU as a stride-1 conv
+    by *channelizing at the period*: view ``[x_{t-1}; x_t]`` as ``2g``
+    blocks of ``L'`` channels, and convolve with the ``[g+1, L', M']``
+    filter ``W = T2[:(g+1)*L', :M']`` (a pure reshape of T2):
+
+        out[c, k, j] = sum_{b, l} blocks[c, k+b, l] * W[b, l, j]
+
+    FLOPs drop to ``(g+1)/(2g)`` of the dense projector (0.5625x for
+    44.1<->48 kHz) and HBM writes halve (no separate overlap tail).
+    Outputs match the dense projector to 2.4e-6.
+
+    **Measured reality check (v5e-1, experiments/fft_conv_probe.py):**
+    XLA's conv lowering at this shape (spatial 16, window 9) reaches only
+    6.2 Gsamples/s vs the dense matmul's 9.9 — the FLOP cut does not
+    survive the lowering, so ``backend="auto"`` keeps the matmul and this
+    form stays an explicitly selectable backend (it wins on smaller
+    batches/CPU and documents the banded structure).
+    (reference chunk pipeline: src/resampler_fft.rs:385-424)
+    """
+    T = spectral_projection_matrix(n_in, n_out).astype(np.float64)
+    T2 = np.vstack([T[:, n_out:], T[:, :n_out]])  # [2N, M] = [B; A]
+    g = math.gcd(n_in, n_out)
+    lp, mp = n_in // g, n_out // g
+    span = (g + 1) * lp
+    return np.ascontiguousarray(
+        T2[:span, :mp].reshape(g + 1, lp, mp), dtype=np.float32
+    )
+
+
+def conv_backend_viable(n_in: int, n_out: int) -> bool:
+    """Whether the channelized conv form is well-shaped: the period must
+    feed the MXU (L', M' >= 64 lanes of channels) and the band must cut
+    FLOPs (g >= 2).  Well-shaped does not mean faster — see the measured
+    note in ``input_domain_conv_operator``."""
+    g = math.gcd(n_in, n_out)
+    return g >= 2 and n_in // g >= 64 and n_out // g >= 64
+
+
 _PROJ_CACHE: dict[tuple[int, int], np.ndarray] = {}
 _PROJ_LOCK = threading.Lock()
 
@@ -166,12 +239,39 @@ def make_fft_step(config: FftConfig, *, backend: str = "matmul"):
 
     ``step(state, chunk [C, N] f32) -> (state', out [C, M] f32)``
 
+    ``backend="conv"`` applies the channelized banded convolution (the
+    FLOP-reduced production form, see ``input_domain_conv_operator``);
     ``backend="matmul"`` applies the fused projection matrix on the MXU;
     ``backend="fft"`` mirrors the reference dataflow with ``jnp.fft``
-    (cross-check / very large custom sizes).
+    (cross-check / very large custom sizes); ``backend="auto"`` picks
+    conv when viable, else matmul.
     """
     n_in = config.fft_size_input
     n_out = config.fft_size_output
+    backend = _resolve_backend(config, backend)
+
+    if backend == "conv":
+        g = math.gcd(n_in, n_out)
+        lp, mp = n_in // g, n_out // g
+        w = jnp.asarray(input_domain_conv_operator(n_in, n_out))
+        C = config.channels
+
+        def step(state: FftState, chunk):
+            chunk = chunk.astype(jnp.float32)
+            x2 = jnp.concatenate([state["prev"], chunk], axis=1)  # [C, 2N]
+            blocks = x2.reshape(C, 2 * g, lp)
+            out = jax.lax.conv_general_dilated(
+                blocks,
+                w,
+                window_strides=(1,),
+                padding="VALID",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGH,  # see matmul note below
+            )  # [C, g, mp]
+            return {"prev": chunk}, out.reshape(C, n_out)
+
+        return step
 
     if backend == "matmul":
         proj = jnp.asarray(get_projection_matrix(n_in, n_out))
@@ -188,6 +288,31 @@ def make_fft_step(config: FftConfig, *, backend: str = "matmul"):
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGH,
             )
+
+    elif backend == "rfft":
+        # Device-runnable runtime-FFT backend for sizes where a dense
+        # projector would be too large: the real-valued mixed-radix FFT
+        # (dsp/rfft.py, no complex dtypes — runs on TPU runtimes that
+        # reject complex64).  Mirrors the reference chunk dataflow
+        # (reference: src/resampler_fft.rs:385-424) with unnormalized
+        # FFTs and the normalization folded into the filter.
+        from ..dsp.rfft import irfft_pair, rfft_pair
+
+        filt_np = fft_filter_spectrum(n_in, n_out)
+        new_length = n_in + 1 if n_in < n_out else n_out
+        fr = jnp.asarray(filt_np[:new_length].real, jnp.float32)
+        fi = jnp.asarray(filt_np[:new_length].imag, jnp.float32)
+        pad = n_out + 1 - new_length
+
+        def chunk_op(x):  # [C, N] -> [C, 2M]
+            xp = jnp.pad(x, ((0, 0), (0, n_in)))
+            re, im = rfft_pair(xp, 2 * n_in)
+            re, im = re[:, :new_length], im[:, :new_length]
+            sre = re * fr - im * fi
+            sim = re * fi + im * fr
+            sre = jnp.pad(sre, ((0, 0), (0, pad)))
+            sim = jnp.pad(sim, ((0, 0), (0, pad)))
+            return irfft_pair(sre, sim, 2 * n_out)
 
     elif backend == "fft":
         # Cross-checking backend mirroring the reference dataflow.  Note:
@@ -217,19 +342,49 @@ def make_fft_step(config: FftConfig, *, backend: str = "matmul"):
     return step
 
 
-def make_fft_fleet_step(config: FftConfig, n_streams: int):
+def make_fft_fleet_step(
+    config: FftConfig, n_streams: int, *, backend: str = "matmul"
+):
     """Fleet-wide FFT step: ``streams x channels`` folded into the row
-    dimension of ONE projection matmul.
+    dimension of ONE device op.
 
     A vmap of the per-stream step would batch ``n_streams`` tiny
-    ``[C, N] @ [N, 2M]`` matmuls; folding the fleet into the rows keeps
-    the MXU at full tile occupancy.  ``step(state, chunks [B, C, N]) ->
-    (state, out [B, C, M])``; state is ``{"overlap": [B, C, M]}``.
+    per-stream ops; folding the fleet into the rows keeps the MXU at full
+    tile occupancy.  ``step(state, chunks [B, C, N]) ->
+    (state, out [B, C, M])``; state is ``{"overlap": [B, C, M]}`` for the
+    matmul backend, ``{"prev": [B, C, N]}`` for the conv backend (fewer
+    FLOPs but a slower lowering on v5e — see
+    ``input_domain_conv_operator``).
     """
     n_in = config.fft_size_input
     n_out = config.fft_size_output
     C = config.channels
     B = n_streams
+    backend = _resolve_backend(config, backend)
+
+    if backend == "conv":
+        g = math.gcd(n_in, n_out)
+        lp = n_in // g
+        w = jnp.asarray(input_domain_conv_operator(n_in, n_out))
+
+        def step(state: FftState, chunks):
+            chunks = chunks.astype(jnp.float32)
+            x2 = jnp.concatenate(
+                [state["prev"], chunks], axis=2
+            ).reshape(B * C, 2 * g, lp)
+            out = jax.lax.conv_general_dilated(
+                x2,
+                w,
+                window_strides=(1,),
+                padding="VALID",
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGH,
+            )  # [B*C, g, mp]
+            return {"prev": chunks}, out.reshape(B, C, n_out)
+
+        return step
+
     proj = jnp.asarray(get_projection_matrix(n_in, n_out))
 
     def step(state: FftState, chunks):
@@ -246,7 +401,16 @@ def make_fft_fleet_step(config: FftConfig, n_streams: int):
     return step
 
 
-def fft_fleet_init(config: FftConfig, n_streams: int) -> FftState:
+def fft_fleet_init(
+    config: FftConfig, n_streams: int, backend: str = "matmul"
+) -> FftState:
+    if _resolve_backend(config, backend) == "conv":
+        return {
+            "prev": jnp.zeros(
+                (n_streams, config.channels, config.fft_size_input),
+                jnp.float32,
+            )
+        }
     return {
         "overlap": jnp.zeros(
             (n_streams, config.channels, config.fft_size_output), jnp.float32
@@ -291,10 +455,11 @@ class ResamplerFft:
         )
         self._input_rate = sample_rate_input
         self._output_rate = sample_rate_output
+        self._backend = backend
         self._step = jax.jit(
             make_fft_step(self._config, backend=backend), donate_argnums=0
         )
-        self._state = fft_init(self._config)
+        self._state = fft_init(self._config, backend)
 
     @property
     def channels(self) -> int:
@@ -322,7 +487,7 @@ class ResamplerFft:
         return self._config.delay
 
     def reset(self) -> None:
-        self._state = fft_init(self._config)
+        self._state = fft_init(self._config, self._backend)
 
     @property
     def state(self) -> FftState:

@@ -231,3 +231,84 @@ def test_fleet_step_matches_vmapped():
         st1, o1 = s1(st1, x)
         st2, o2 = s2(st2, x)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "in_rate,out_rate",
+    [
+        (SampleRate.Hz44100, SampleRate.Hz48000),
+        (SampleRate.Hz48000, SampleRate.Hz44100),
+        (SampleRate.Hz96000, SampleRate.Hz88200),
+    ],
+)
+def test_conv_backend_matches_matmul(in_rate, out_rate):
+    """The channelized banded-conv form (the FLOP-reduced production
+    backend) equals the dense projector across chunks, including the
+    prev-chunk carry (= overlap-add) semantics."""
+    rng = np.random.default_rng(13)
+    a = ResamplerFft(2, in_rate, out_rate, backend="matmul")
+    b = ResamplerFft(2, in_rate, out_rate, backend="conv")
+    out_a = np.zeros(a.chunk_size_output(), np.float32)
+    out_b = np.zeros(b.chunk_size_output(), np.float32)
+    for _ in range(4):
+        x = rng.standard_normal(a.chunk_size_input()).astype(np.float32)
+        a.resample(x, out_a)
+        b.resample(x, out_b)
+        # band truncation keeps entries >= ~1.2e-7 of max; remaining
+        # difference is f32 summation order
+        np.testing.assert_allclose(out_a, out_b, atol=2e-5)
+
+
+def test_conv_backend_auto_selection():
+    """auto -> conv exactly when the period feeds the MXU (L', M' >= 64
+    channels) and the band cuts FLOPs (g >= 2)."""
+    from resampler_tpu.engine.fft import conv_backend_viable
+
+    assert conv_backend_viable(1176, 1280)      # 44.1<->48 family
+    assert conv_backend_viable(588, 1280)       # 22.05 -> 48
+    assert not conv_backend_viable(512, 1024)   # same-family 2x: L'=1
+    assert not conv_backend_viable(64, 192)     # L'=1: no channels
+    assert not conv_backend_viable(147, 160)    # g=1: no FLOP cut
+
+
+def test_conv_fleet_matches_matmul_fleet():
+    from resampler_tpu.engine import fft as fft_engine
+
+    cfg = fft_engine.FftConfig(
+        channels=2, fft_size_input=588, fft_size_output=640
+    )
+    B = 3
+    fm = fft_engine.make_fft_fleet_step(cfg, B)
+    fc = fft_engine.make_fft_fleet_step(cfg, B, backend="conv")
+    sm = fft_engine.fft_fleet_init(cfg, B)
+    sc = fft_engine.fft_fleet_init(cfg, B, "conv")
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        x = rng.standard_normal((B, 2, 588)).astype(np.float32)
+        sm, a = fm(sm, x)
+        sc, b = fc(sc, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_conv_backend_stopband():
+    """Quality gate directly on the conv backend (not only equivalence)."""
+    r = ResamplerFft(1, SampleRate.Hz22050, SampleRate.Hz48000, backend="conv")
+    ci = r.chunk_size_input()
+    x = np.zeros(20 * ci, np.float32)
+    x[len(x) // 2] = 1.0
+    y = r.process(x)
+    peak = int(np.argmax(np.abs(y)))
+    window = int(48000 * 0.1)
+    start = max(peak - window // 2, 0)
+    spec = np.fft.rfft(y[start : start + window], 1 << 17)
+    mag_db = 20 * np.log10(np.maximum(np.abs(spec), 1e-12))
+
+    def bin_of(freq):
+        return round(freq / 48000 * (1 << 17))
+
+    nyq_in = 22050 / 2
+    atten = (
+        mag_db[bin_of(20.0) : bin_of(nyq_in * 0.9) + 1].max()
+        - mag_db[bin_of(nyq_in * 1.1) : bin_of(48000 / 2 * 0.95) + 1].max()
+    )
+    assert atten >= 99.0, f"conv backend stopband {atten:.2f} dB"
