@@ -117,6 +117,64 @@ def bench_fir(
     return produced_total * C / dt / 1e6
 
 
+def bench_fir_gather(dispatches=3, warmup=1, n_streams=64, chunk_frames=2048):
+    """The general gather path (coprime reduced ratio, here 44100->44101:
+    M = 44101 > MAX_PERIOD so no banded atlas exists).  Benched so every
+    selectable path has a recorded number (VERDICT r1 #5); its stopband
+    gate lives in tests/test_fir_engine.py::test_stopband_attenuation."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fir_engine
+    from resampler_tpu.types import Attenuation, Latency, reduce_ratio
+
+    C = 2
+    L, M = reduce_ratio(44100, 44101)
+    cfg = fir_engine.FirConfig(
+        channels=C, taps=Latency.Sample64.taps, ratio_num=L, ratio_den=M
+    )
+    cutoff = fir_engine.fir_cutoff(
+        Latency.Sample64.taps, Attenuation.Db90, 44100 / 44101
+    )
+    coeffs = fir_engine.fir_coefficients(
+        Latency.Sample64.taps, Attenuation.Db90, cutoff
+    )
+    step = fir_engine.make_fir_step(cfg, coeffs, path="gather")
+    n_valid = jnp.full((n_streams,), chunk_frames, jnp.int32)
+    budget = jnp.full((n_streams,), cfg.out_capacity, jnp.int32)
+    state = jax.vmap(lambda _: fir_engine.fir_init(cfg))(jnp.arange(n_streams))
+
+    def fleet(state, chunks):
+        def body(st, _):
+            st, out, consumed, produced = jax.vmap(step)(
+                st, chunks, n_valid, budget
+            )
+            return st, (jnp.sum(produced), jnp.max(jnp.abs(out)))
+
+        state, (produced, peaks) = jax.lax.scan(
+            body, state, None, length=SCAN_LEN
+        )
+        return state, jnp.sum(produced), jnp.max(peaks)
+
+    fleet = jax.jit(fleet, donate_argnums=0)
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray(
+        rng.standard_normal((n_streams, chunk_frames, C)), jnp.float32
+    )
+    for _ in range(warmup):
+        state, produced, peak = fleet(state, chunks)
+    jax.block_until_ready(peak)
+    produced_parts = []
+    import time as _t
+    t0 = _t.perf_counter()
+    for _ in range(dispatches):
+        state, produced, peak = fleet(state, chunks)
+        produced_parts.append(produced)
+    jax.block_until_ready(peak)
+    dt = _t.perf_counter() - t0
+    return sum(int(p) for p in produced_parts) * C / dt / 1e6
+
+
 def bench_fft(dispatches=5, warmup=2, n_streams=8192):
     import jax
     import jax.numpy as jnp
@@ -198,6 +256,7 @@ def quality_attestation():
 def main():
     fir_msps = bench_fir()
     fft_msps = bench_fft()
+    fir_gather_msps = bench_fir_gather()
     fir_alias_db, fft_stopband_db = quality_attestation()
     result = {
         "metric": "Msamples/sec/chip stereo 44.1->48k FIR (Sample64, Db90, batched streams)",
@@ -209,6 +268,10 @@ def main():
             "fir_vs_reference": round(fir_msps / FIR_BASELINE_MSPS, 2),
             "fft_msamples_per_s": round(fft_msps, 1),
             "fft_vs_reference": round(fft_msps / FFT_BASELINE_MSPS, 2),
+            "fir_gather_msamples_per_s": round(fir_gather_msps, 1),
+            "fir_gather_vs_reference": round(
+                fir_gather_msps / FIR_BASELINE_MSPS, 2
+            ),
             "fir_alias_rejection_db": round(fir_alias_db, 1),
             "fft_stopband_db": round(fft_stopband_db, 1),
             "quality_ok": bool(fir_alias_db >= 100.0 and fft_stopband_db >= 99.0),

@@ -27,25 +27,33 @@ uncovering the next):
    as a DMA source (and ``pltpu.ANY`` may still place small arrays in
    VMEM), so every dynamic window became ``pltpu.roll`` with a traced
    shift (``tpu.dynamic_rotate``) + static slice.  Requirements found:
-   rotate widths must be whole 128-lane tiles; dynamic SUBLANE offsets
-   must be 8-aligned (handled with an aligned load + 8-way
-   ``lax.switch`` remainder).  WITH THIS THE KERNEL COMPILES AND RUNS
-   ON REAL TPU.
+   dynamic SUBLANE offsets must be 8-aligned (handled with an aligned
+   load + 8-way ``lax.switch`` remainder).  WITH THIS THE KERNEL
+   COMPILES AND RUNS ON REAL TPU.
 
-5. REMAINING: on-device numerics diverge from interpret mode (produced
-   counts match; values are shifted — suspect a ``dynamic_rotate``
-   direction/wrap discrepancy between the interpreter and the Mosaic
-   lowering; bisect with a standalone rotate probe).
+5. Round-1's residual on-device divergence is SOLVED (round 2):
+   ``tpu.dynamic_rotate`` with a traced shift **silently computes wrong
+   results when the lane width is not a power of two** — whole 128-lane
+   tiles are necessary but NOT sufficient.  Bisected with standalone
+   probes: correct at widths 256/1024/2048/4096/8192, a silent no-op at
+   640/3072/4224/7424 (experiments/rotate_probe.py,
+   experiments/copyin_probe.py, experiments/roll_width_probe.py,
+   experiments/roll_pow2_probe.py).  Every rolled array here is now
+   padded to a power-of-two lane width (the rotate wrap lands in the
+   discarded pad, so the extra columns are free), and the kernel is
+   bit-checked against the XLA step ON DEVICE in
+   tests_tpu/test_pallas_device.py.
 
-VERDICT from the first on-device run: ~814 Msamples/s at B=512 — BELOW
+PERF VERDICT (unchanged by the fix): ~814 Msamples/s at B=512 — BELOW
 the plain vmapped XLA step (1229) and far below the synchronized XLA
 fleet (8084).  The Pallas grid executes sequentially on the single v5e
 TensorCore, so per-stream fusion pays ~10 us/stream of serial rolls and
 masks that the batched XLA path amortizes across the fleet.  Conclusion:
 on single-TensorCore parts this kernel is NOT the path to beat XLA here;
 it remains useful as (a) a worked catalog of Mosaic dynamic-indexing
-workarounds and (b) a starting point if multi-core grids or cheaper
-dynamic windows land.
+workarounds, (b) proof the fused-step design is sound on hardware, and
+(c) a starting point if multi-core grids or cheaper dynamic windows
+land.  The production path stays the XLA synchronized fleet.
 
 (reference native analog: the hand-written SIMD convolution kernels,
 reference: src/fir/avx512.rs, SURVEY.md §2.6)
@@ -65,6 +73,10 @@ from ..engine.fir import FirConfig
 __all__ = ["make_fir_fleet_step_pallas"]
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
 def _build_atlas(config: FirConfig, coeffs: np.ndarray) -> np.ndarray:
     """Static doubled banded-kernel atlas (same math as the engine's
     periodic path; see engine/fir.py _convolve_periodic docstring)."""
@@ -78,10 +90,11 @@ def _build_atlas(config: FirConfig, coeffs: np.ndarray) -> np.ndarray:
     w_resid = (1.0 - frac) * table[p1] + frac * table[p2]
 
     # 2M + 8 rows: the aligned-sublane load below reads [i0_al, i0_al+M+8).
-    # Width padded to a multiple of 128: tpu.dynamic_rotate needs whole
-    # lane tiles; the rotation wrap lands beyond the span that is used.
+    # Width padded to a POWER OF TWO of lanes: tpu.dynamic_rotate with a
+    # traced shift silently no-ops at non-pow2 widths (workaround #5);
+    # the rotation wrap lands beyond the span that is used.
     rows = 2 * M + 8
-    width = -(-(2 * L + taps + 1) // 128) * 128
+    width = _next_pow2(2 * L + taps + 1)
     i = np.arange(rows, dtype=np.int64)
     a2 = np.zeros((rows, width), np.float32)
     for ii in range(rows):
@@ -116,8 +129,8 @@ def make_fir_fleet_step_pallas(
     a2_rows, a2_cols = a2_np.shape
     l_inv = pow(L, -1, M) if M > 1 else 0
     valid_end = config.input_capacity
-    # rounded up to whole 128-lane tiles for tpu.dynamic_rotate
-    ext_cols = -(-(valid_end + n_in + (alloc - valid_end)) // 128) * 128
+    # power-of-two lanes for tpu.dynamic_rotate (workaround #5)
+    ext_cols = _next_pow2(valid_end + n_in + (alloc - valid_end))
 
     region_cols = (K + n_blk) * L
 
