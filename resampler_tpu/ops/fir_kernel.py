@@ -44,16 +44,25 @@ uncovering the next):
    bit-checked against the XLA step ON DEVICE in
    tests_tpu/test_pallas_device.py.
 
-PERF VERDICT (unchanged by the fix): ~814 Msamples/s at B=512 — BELOW
-the plain vmapped XLA step (1229) and far below the synchronized XLA
-fleet (8084).  The Pallas grid executes sequentially on the single v5e
-TensorCore, so per-stream fusion pays ~10 us/stream of serial rolls and
-masks that the batched XLA path amortizes across the fleet.  Conclusion:
-on single-TensorCore parts this kernel is NOT the path to beat XLA here;
-it remains useful as (a) a worked catalog of Mosaic dynamic-indexing
-workarounds, (b) proof the fused-step design is sound on hardware, and
-(c) a starting point if multi-core grids or cheaper dynamic windows
-land.  The production path stays the XLA synchronized fleet.
+6. The lane-split substitute: the K strided im2col windows are
+   extracted with STATIC rolls (uniform zero-offset layouts stack
+   cleanly; plain slices carry lane offsets that trip the round-1
+   layout-mismatch error) and stacked on a new major axis — minor dim
+   intact end to end.  WITH #5 + #6 THE KERNEL IS BIT-CORRECT ON REAL
+   TPU: stream buffer exactly equal to the XLA step's, outputs within
+   f32 summation order (4.8e-7), counts exact.
+
+PERF VERDICT: correctness costs rolls — ~431 Msamples/s at B=512
+(taps=128), BELOW the plain vmapped XLA step (1229) and far below the
+synchronized XLA fleet (8084).  The Pallas grid executes sequentially on
+the single v5e TensorCore and every dynamic window is a full-width lane
+rotate.  Conclusion: on single-TensorCore parts this kernel is NOT the
+path to beat XLA here; it remains useful as (a) a worked catalog of six
+Mosaic dynamic-indexing workarounds — two of them SILENT wrong-answer
+bugs, (b) hardware-verified proof the fused-step design is sound
+(tests_tpu/test_pallas_device.py), and (c) a starting point if
+multi-core grids or cheaper dynamic windows land.  The production path
+stays the XLA synchronized fleet.
 
 (reference native analog: the hand-written SIMD convolution kernels,
 reference: src/fir/avx512.rs, SURVEY.md §2.6)
@@ -132,14 +141,12 @@ def make_fir_fleet_step_pallas(
     # power-of-two lanes for tpu.dynamic_rotate (workaround #5)
     ext_cols = _next_pow2(valid_end + n_in + (alloc - valid_end))
 
-    region_cols = (K + n_blk) * L
 
     def kernel(
         avail_ref, pos_ref, nvalid_ref, budget_ref,  # scalar prefetch [B]
         buf_ref, chunk_ref, a2_ref,                  # VMEM blocks
         buf_out_ref, out_ref, avail_out_ref, pos_out_ref,
         consumed_ref, produced_ref,
-        region_ref,                                  # VMEM scratch
     ):
         b = pl.program_id(0)
         avail = avail_ref[b]
@@ -196,29 +203,34 @@ def make_fir_fleet_step_pallas(
         # ---- im2col + MXU matmul ----
         read_pos = valid_end - avail
         base = read_pos + d_min
-        # stage the region through a scratch ref so the [C, N*L] ->
-        # [C, N, L] view can use the REF-level reshape (value-level lane
-        # splits are unsupported)
-        region_ref[:, :] = pltpu.roll(ext, -(to_copy + base), axis=1)[
-            :, :region_cols
+        rolled = pltpu.roll(ext, -(to_copy + base), axis=1)
+        # Workaround #6 (round 2): the REF-level lane-split reshape
+        # [C, (K+n)L] -> [C, K+n, L] SILENTLY reads garbage on device
+        # (verified: experiments/region_probe.py — wrong even at shift
+        # 0), like the value-level split it was meant to replace.  The
+        # im2col is instead built WITHOUT any lane-split: the K strided
+        # windows are extracted by STATIC rolls (uniform zero-offset
+        # layouts, so they stack cleanly — plain slices carry lane
+        # offsets that trip the same layout mismatch as round-1's lane
+        # concat), stacked along a NEW major axis, giving one
+        # [K*C, s_len] x [s_len, M] MXU contraction:
+        #   out[k*C + c, j] = sum_s rolled[c, k*L + s] * A[j, s]
+        windows = [
+            pltpu.roll(rolled, (ext_cols - kk * L) % ext_cols, axis=1)[
+                :, :s_len
+            ]
+            for kk in range(K)
         ]
-        # lane-concat of shifted views trips Mosaic layout offsets, so the
-        # im2col contraction is decomposed per shifted block:
-        #   out = sum_b blocks[:, b:b+K, :] . A[:, b*L:(b+1)*L]^T
-        blocks3 = region_ref.reshape(C, K + n_blk, L)
-        out = jnp.zeros((C * K, M), jnp.float32)
-        for bb in range(n_blk):
-            seg_b = blocks3[:, bb : bb + K, :].reshape(C * K, L)
-            a_b = a_pad[:, bb * L : (bb + 1) * L]
-            out = out + jax.lax.dot_general(
-                seg_b,
-                a_b,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [C*K, M]
-        out = out.reshape(C, K, M)
-        out = jnp.transpose(out, (1, 2, 0)).reshape(K * M, C)
+        segs = jnp.stack(windows, axis=0).reshape(K * C, s_len)
+        out = jax.lax.dot_general(
+            segs,
+            a_pad,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [K*C, M]
+        out = out.reshape(K, C, M)
+        out = jnp.transpose(out, (0, 2, 1)).reshape(K * M, C)
         lane = jax.lax.broadcasted_iota(jnp.int32, (K * M, 1), 0)
         out = jnp.where(lane < n_out, out, 0.0)
 
@@ -267,9 +279,6 @@ def make_fir_fleet_step_pallas(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((C, region_cols), jnp.float32),
             ],
         )
         return pl.pallas_call(
