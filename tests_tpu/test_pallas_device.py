@@ -58,3 +58,33 @@ def test_pallas_kernel_matches_xla_on_device(in_hz, out_hz, taps):
         np.testing.assert_allclose(
             np.asarray(out_x), np.asarray(out_p), atol=2e-6
         )
+
+
+def test_pallas_sync_fleet_kernel_on_device():
+    """Fused sync-fleet kernel vs XLA sync step on real hardware:
+    bit-exact buffer, f32-noise outputs, exact counts."""
+    from resampler_tpu.ops.fir_sync_kernel import (
+        make_fir_fleet_step_sync_pallas,
+    )
+
+    B, C, n_in, taps = 64, 2, 512, 64
+    L, M = reduce_ratio(44100, 48000)
+    cfg = fe.FirConfig(channels=C, taps=taps, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(taps, Attenuation.Db90, 44100 / 48000)
+    coeffs = fe.fir_coefficients(taps, Attenuation.Db90, cutoff)
+    xla = jax.jit(fe.make_fir_fleet_step_sync(cfg, coeffs, B, channel_major=True))
+    pal = jax.jit(make_fir_fleet_step_sync_pallas(cfg, coeffs, B, n_in))
+
+    rng = np.random.default_rng(0)
+    sa = fe.fir_fleet_init_sync(cfg, B)
+    sb = fe.fir_fleet_init_sync(cfg, B)
+    for _ in range(3):
+        chunks = jnp.asarray(rng.standard_normal((B, C, n_in)), jnp.float32)
+        nv = jnp.int32(int(rng.integers(1, n_in + 1)))
+        sa, oa, ca, pa = xla(sa, chunks, nv)
+        sb, ob, cb, pb = pal(sb, chunks, nv)
+        assert int(ca) == int(cb) and int(pa) == int(pb)
+        np.testing.assert_array_equal(
+            np.asarray(sa["buffer"]), np.asarray(sb["buffer"])
+        )
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=2e-6)
