@@ -107,13 +107,20 @@ def _cfft(re, im, n: int, factors):
     tim = re * twi + im * twr
 
     dr, di = (jnp.asarray(d) for d in _dft_matrix(r))
-    # X[s*m + k] = sum_j1 DFT[s, j1] * t[j1, k]
-    out_re = jnp.einsum("sj,...jk->...sk", dr, tre) - jnp.einsum(
-        "sj,...jk->...sk", di, tim
-    )
-    out_im = jnp.einsum("sj,...jk->...sk", dr, tim) + jnp.einsum(
-        "sj,...jk->...sk", di, tre
-    )
+
+    # X[s*m + k] = sum_j1 DFT[s, j1] * t[j1, k].  The TPU default matmul
+    # precision is a single bf16 pass (~2^-9 relative per stage, which
+    # compounds across the factor stages into garbage) — these DFT
+    # contractions are over <= 8 elements, so HIGHEST costs nothing.
+    def cdot(a, b):
+        return jnp.einsum(
+            "sj,...jk->...sk", a, b,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    out_re = cdot(dr, tre) - cdot(di, tim)
+    out_im = cdot(dr, tim) + cdot(di, tre)
     return (
         out_re.reshape(*out_re.shape[:-2], n),
         out_im.reshape(*out_im.shape[:-2], n),

@@ -133,3 +133,27 @@ def test_fft_matmul_matches_host_reference_on_device():
     # (experiments/fft_pass_probe.py "err HIGH") — well below the
     # -100 dB design stopband; gate at 4x that
     np.testing.assert_allclose(np.asarray(out), expected, atol=3e-4)
+
+
+def test_rfft_backend_runs_on_device():
+    """The real-valued mixed-radix FFT backend (dsp/rfft.py) must run on
+    TPU runtimes that reject complex dtypes — that is its purpose
+    (the 'fft' backend is CPU-only here).  One chunk, checked against
+    the projector backend."""
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fft as fft_engine
+
+    cfg = fft_engine.FftConfig(
+        channels=2, fft_size_input=588, fft_size_output=640
+    )
+    sm = fft_engine.make_fft_step(cfg, backend="matmul")
+    sr = fft_engine.make_fft_step(cfg, backend="rfft")
+    stm = fft_engine.fft_init(cfg)
+    str_ = fft_engine.fft_init(cfg, "rfft")
+    rng = np.random.default_rng(7)
+    for _ in range(2):
+        x = jnp.asarray(rng.standard_normal((2, 588)), jnp.float32)
+        stm, a = sm(stm, x)
+        str_, b = sr(str_, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
