@@ -32,9 +32,10 @@ def bench_fir(
     synchronized=True,
 ):
     """Batched FIR throughput.  ``synchronized=True`` benches the
-    phase-locked fleet (one giant matmul per step — the serving fast
-    path); ``False`` benches the general vmapped fleet with independent
-    per-stream state."""
+    phase-locked fleet — the TIME-MAJOR ring step (one in-place KV-cache
+    append + one fat fleet-wide matmul per step, the fastest measured
+    serving path); ``False`` benches the general vmapped fleet with
+    independent per-stream state."""
     import jax
     import jax.numpy as jnp
 
@@ -54,10 +55,12 @@ def bench_fir(
     )
 
     if synchronized:
-        step = fir_engine.make_fir_fleet_step_sync(
-            cfg, coeffs, n_streams, channel_major=True
+        step = fir_engine.make_fir_fleet_step_sync_tm(
+            cfg, coeffs, n_streams, max_chunk=chunk_frames, horizon=16
         )
-        state = fir_engine.fir_fleet_init_sync(cfg, n_streams)
+        state = fir_engine.fir_fleet_init_sync_tm(
+            cfg, n_streams, max_chunk=chunk_frames, horizon=16
+        )
 
         def fleet(state, chunks):
             def body(st, _):
@@ -97,7 +100,7 @@ def bench_fir(
 
     rng = np.random.default_rng(0)
     shape = (
-        (n_streams, C, chunk_frames)
+        (chunk_frames, n_streams * C)  # time-major fleet feed
         if synchronized
         else (n_streams, chunk_frames, C)
     )

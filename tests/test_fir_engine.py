@@ -319,3 +319,67 @@ def test_sync_fleet_channel_major_matches_frames_major():
         )
         assert int(ca) == int(cb) and int(pa) == int(pb)
         np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_sync_tm_matches_sync_slide():
+    """The time-major ring sync step (the fastest serving path) is
+    bit-compatible with the end-aligned slide sync step across 30+ steps
+    including several ring compactions."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    B, C, n_in = 3, 2, 300
+    L, M = reduce_ratio(44100, 48000)
+    cfg = fe.FirConfig(channels=C, taps=32, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(32, Attenuation.Db90, 44100 / 48000)
+    coeffs = fe.fir_coefficients(32, Attenuation.Db90, cutoff)
+    slide = jax.jit(fe.make_fir_fleet_step_sync(cfg, coeffs, B, channel_major=True))
+    tm = jax.jit(
+        fe.make_fir_fleet_step_sync_tm(cfg, coeffs, B, max_chunk=n_in, horizon=3)
+    )
+
+    rng = np.random.default_rng(5)
+    sa = fe.fir_fleet_init_sync(cfg, B)
+    sb = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=3)
+    for _ in range(32):
+        ch = rng.standard_normal((B, C, n_in)).astype(np.float32)
+        nv = jnp.int32(int(rng.integers(0, n_in + 1)))
+        sa, oa, ca, pa = slide(sa, jnp.asarray(ch), nv)
+        ch_tm = jnp.asarray(np.ascontiguousarray(ch.reshape(B * C, n_in).T))
+        sb, ob, cb, pb = tm(sb, ch_tm, nv)
+        assert int(ca) == int(cb) and int(pa) == int(pb)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=2e-6)
+
+
+def test_sync_tm_conv_fallback_ratio():
+    """Time-major step at an L >> taps ratio (the config where the slide
+    variant would pick lax.conv): im2col-always must stay correct."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    B, C, n_in = 2, 1, 700
+    L, M = reduce_ratio(48000, 22050)  # 320/147: span < 2L
+    cfg = fe.FirConfig(channels=C, taps=16, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(16, Attenuation.Db90, 48000 / 22050)
+    coeffs = fe.fir_coefficients(16, Attenuation.Db90, cutoff)
+    slide = jax.jit(fe.make_fir_fleet_step_sync(cfg, coeffs, B, channel_major=True))
+    tm = jax.jit(
+        fe.make_fir_fleet_step_sync_tm(cfg, coeffs, B, max_chunk=n_in, horizon=2)
+    )
+    rng = np.random.default_rng(6)
+    sa = fe.fir_fleet_init_sync(cfg, B)
+    sb = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=2)
+    for _ in range(20):
+        ch = rng.standard_normal((B, C, n_in)).astype(np.float32)
+        nv = jnp.int32(int(rng.integers(0, n_in + 1)))
+        sa, oa, ca, pa = slide(sa, jnp.asarray(ch), nv)
+        ch_tm = jnp.asarray(np.ascontiguousarray(ch.reshape(B * C, n_in).T))
+        sb, ob, cb, pb = tm(sb, ch_tm, nv)
+        assert int(ca) == int(cb) and int(pa) == int(pb)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=2e-6)

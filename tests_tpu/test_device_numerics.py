@@ -157,3 +157,36 @@ def test_rfft_backend_runs_on_device():
         stm, a = sm(stm, x)
         str_, b = sr(str_, x)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_sync_tm_matches_slide_on_device():
+    """The time-major ring sync step (the bench headline path) equals the
+    end-aligned slide sync step on hardware, across compactions."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    B, C, n_in = 8, 2, 512
+    L, M = reduce_ratio(44100, 48000)
+    cfg = fe.FirConfig(channels=C, taps=64, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(64, Attenuation.Db90, 44100 / 48000)
+    coeffs = fe.fir_coefficients(64, Attenuation.Db90, cutoff)
+    slide = jax.jit(
+        fe.make_fir_fleet_step_sync(cfg, coeffs, B, channel_major=True)
+    )
+    tm = jax.jit(
+        fe.make_fir_fleet_step_sync_tm(cfg, coeffs, B, max_chunk=n_in, horizon=3)
+    )
+    rng = np.random.default_rng(2)
+    sa = fe.fir_fleet_init_sync(cfg, B)
+    sb = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=3)
+    for _ in range(24):  # crosses several ring compactions
+        ch = rng.standard_normal((B, C, n_in)).astype(np.float32)
+        nv = jnp.int32(int(rng.integers(1, n_in + 1)))
+        sa, oa, ca, pa = slide(sa, jnp.asarray(ch), nv)
+        ch_tm = jnp.asarray(np.ascontiguousarray(ch.reshape(B * C, n_in).T))
+        sb, ob, cb, pb = tm(sb, ch_tm, nv)
+        assert int(ca) == int(cb) and int(pa) == int(pb)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=2e-6)
