@@ -1,0 +1,104 @@
+"""End-to-end serving demo: a fleet of live audio streams resampled
+44.1 kHz -> 48 kHz with checkpoint/restore mid-stream.
+
+Run:  python examples/serving_demo.py        (CPU or TPU)
+
+Shows the three serving tiers:
+1. `StreamingFleet` — ragged producers push interleaved audio into a
+   thread-safe staging pool; each `step()` drains one batch through the
+   vmapped device engine (arbitrary per-stream sizes).
+2. The functional time-major sync step — the 83x-reference fast path for
+   phase-locked fleets (equal frames per stream per step), embedded in a
+   caller's own jit program.
+3. Checkpoint/resume of explicit stream state (SURVEY.md §5 analog).
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from resampler_tpu import Attenuation, Latency
+from resampler_tpu.engine import fir as fir_engine
+from resampler_tpu.runtime import StreamingFleet
+from resampler_tpu.types import reduce_ratio
+from resampler_tpu.utils.checkpoint import load_state, save_state
+
+
+def tier1_streaming_fleet():
+    print("== tier 1: StreamingFleet (ragged producers) ==")
+    B, C = 8, 2
+    fleet = StreamingFleet(B, C, 44100, 48000, Latency.Sample64,
+                           Attenuation.Db90, chunk_frames=1024)
+    rng = np.random.default_rng(0)
+    t = np.arange(20000) / 44100
+    for s in range(B):
+        tone = 0.3 * np.sin(2 * np.pi * (200 + 50 * s) * t)
+        x = np.stack([tone, tone * 0.5], 1).reshape(-1).astype(np.float32)
+        # ragged pushes, like live producers
+        off = 0
+        while off < x.size:
+            end = min(off + int(rng.integers(500, 4000)), x.size)
+            fleet.push(s, x[off:end])
+            off = end
+    outs = fleet.drain()
+    for s in (0, B - 1):
+        y = outs[s].reshape(-1, C)
+        zc = np.sum(np.diff(np.signbit(y[1000:-1000, 0])) != 0)
+        f = zc / 2 / ((y.shape[0] - 2000) / 48000)
+        print(f"  stream {s}: {y.shape[0]} frames out, tone {f:.1f} Hz "
+              f"(expected {200 + 50 * s})")
+
+
+def tier2_time_major_sync():
+    print("== tier 2: time-major sync fleet (the 83x path) ==")
+    B, C, CHUNK = 16, 2, 1024
+    L, M = reduce_ratio(44100, 48000)
+    cfg = fir_engine.FirConfig(
+        channels=C, taps=Latency.Sample64.taps, ratio_num=L, ratio_den=M
+    )
+    cutoff = fir_engine.fir_cutoff(cfg.taps, Attenuation.Db90, 44100 / 48000)
+    coeffs = fir_engine.fir_coefficients(cfg.taps, Attenuation.Db90, cutoff)
+    step = jax.jit(
+        fir_engine.make_fir_fleet_step_sync_tm(cfg, coeffs, B, max_chunk=CHUNK)
+    )
+    state = fir_engine.fir_fleet_init_sync_tm(cfg, B, max_chunk=CHUNK)
+    rng = np.random.default_rng(1)
+    total = 0
+    for _ in range(12):
+        chunks_tm = jnp.asarray(
+            rng.standard_normal((CHUNK, B * C)) * 0.25, jnp.float32
+        )
+        state, out, consumed, produced = step(state, chunks_tm, jnp.int32(CHUNK))
+        total += int(produced)
+    print(f"  {B} streams x 12 steps: {total} frames/stream produced "
+          f"(ratio {total / (12 * CHUNK):.5f}, expected ~{48000 / 44100:.5f})")
+
+
+def tier3_checkpoint(tmp="/tmp/fleet_state.npz"):
+    print("== tier 3: checkpoint / resume ==")
+    from resampler_tpu import ResamplerFir
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(2 * 12000).astype(np.float32)
+    a = ResamplerFir(2, 44100, 48000)
+    out = np.zeros(a.buffer_size_output(), np.float32)
+    a.resample(x[: 2 * 6000], out)
+    save_state(tmp, a.state)
+
+    cont = a.process(x[2 * 6000 :])
+    b = ResamplerFir(2, 44100, 48000)
+    b.state = load_state(tmp)
+    restored = b.process(x[2 * 6000 :])
+    print(f"  resume bit-identical: {np.array_equal(cont, restored)} "
+          f"({cont.size} samples)")
+
+
+if __name__ == "__main__":
+    tier1_streaming_fleet()
+    tier2_time_major_sync()
+    tier3_checkpoint()
