@@ -37,16 +37,25 @@ __all__ = ["matmul3", "split_hi_lo"]
 
 
 def split_hi_lo(a):
-    """Exact two-term bf16 decomposition: a ~= hi + lo with hi = bf16(a)."""
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+    """Two-term bf16 decomposition: ``a ~= hi + lo`` with ``hi = bf16(a)``.
+
+    CRITICAL: the naive ``lo = a - bf16(a).astype(f32)`` is silently
+    simplified to ZERO under jit — XLA's excess-precision rule elides the
+    f32->bf16->f32 convert round-trip (verified on both CPU and TPU
+    backends; it cost two rounds of probe numerics before being caught).
+    The rounding must therefore be done with integer bit ops, which no
+    simplification pass touches: round-to-nearest-even to the upper 16
+    bits, as bf16 conversion does.
+    """
+    u = jax.lax.bitcast_convert_type(a.astype(jnp.float32), jnp.uint32)
+    u_r = (u + 0x7FFF + ((u >> 16) & 1)) & jnp.uint32(0xFFFF0000)
+    hi_f = jax.lax.bitcast_convert_type(u_r, jnp.float32)
+    return hi_f.astype(jnp.bfloat16), (a - hi_f).astype(jnp.bfloat16)
 
 
 def _kernel(x_ref, thi_ref, tlo_ref, o_ref):
     x = x_ref[:]
-    x_hi = x.astype(jnp.bfloat16)
-    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    x_hi, x_lo = split_hi_lo(x)
     t_hi = thi_ref[:]
     t_lo = tlo_ref[:]
     acc = jnp.dot(x_hi, t_hi, preferred_element_type=jnp.float32)

@@ -78,3 +78,39 @@ def test_pallas_sync_fleet_kernel_matches_xla_sync():
         np.testing.assert_allclose(
             np.asarray(sa["buffer"]), np.asarray(sb["buffer"]), atol=1e-6
         )
+
+
+def test_split_hi_lo_survives_jit():
+    """Regression: XLA's excess-precision simplification turns the naive
+    ``a - bf16(a).astype(f32)`` into literal zero under jit; split_hi_lo
+    must use bit-level rounding so both terms survive compilation."""
+    from resampler_tpu.ops.matmul3 import split_hi_lo
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
+    hi, lo = jax.jit(split_hi_lo)(a)
+    assert float(jnp.abs(lo.astype(jnp.float32)).max()) > 0.0
+    recon = hi.astype(np.float32) + np.asarray(lo, np.float32)
+    np.testing.assert_allclose(recon, np.asarray(a), atol=2e-5, rtol=0)
+    # hi is the round-to-nearest bf16 value
+    np.testing.assert_array_equal(
+        np.asarray(hi), np.asarray(a).astype(jnp.bfloat16)
+    )
+
+
+def test_matmul3_matches_precision_high(pallas_interpret_only=True):
+    """matmul3 (interpret mode) reaches f32-class accuracy vs an f64
+    reference — i.e. its three bf16 passes are all really happening."""
+    from resampler_tpu.ops.matmul3 import matmul3, split_hi_lo
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((512, 384)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((384, 512)), jnp.float32)
+    t_hi, t_lo = split_hi_lo(t)
+    out = matmul3(x, t_hi, t_lo, tile_m=256, tile_n=256, interpret=True)
+    ref = np.asarray(x, np.float64) @ np.asarray(t, np.float64)
+    err = np.asarray(out, np.float64) - ref
+    floor_db = -20 * np.log10(
+        np.sqrt((err**2).mean() / (ref**2).mean())
+    )
+    assert floor_db > 90.0, floor_db  # single bf16 pass would be ~53 dB
