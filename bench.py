@@ -188,18 +188,23 @@ def bench_fft(dispatches=5, warmup=2, n_streams=8192):
     cfg = fft_engine.FftConfig(
         channels=C, fft_size_input=1176, fft_size_output=1280
     )
-    step = fft_engine.make_fft_step(cfg)
+    # backend="auto": on the TPU this resolves to the fused Pallas banded
+    # magnitude-split kernel (ops/fft_magsplit_kernel.py) — ~0.42x the MXU
+    # work of the dense Precision.HIGH projector at a better measured
+    # noise floor.  The quality attestation below runs the same backend
+    # resolution, so the throughput claimed here is quality-gated.
+    step = fft_engine.make_fft_fleet_step(cfg, n_streams)
 
     def fleet(state, chunks):
         def body(st, _):
-            st, out = jax.vmap(step)(st, chunks)
+            st, out = step(st, chunks)
             return st, jnp.max(jnp.abs(out))
         state, peaks = jax.lax.scan(body, state, None, length=SCAN_LEN)
         return state, jnp.max(peaks)
 
     fleet = jax.jit(fleet, donate_argnums=0)
 
-    state = jax.vmap(lambda _: fft_engine.fft_init(cfg))(jnp.arange(n_streams))
+    state = fft_engine.fft_fleet_init(cfg, n_streams)
     rng = np.random.default_rng(0)
     chunks = jnp.asarray(
         rng.standard_normal((n_streams, C, cfg.fft_size_input)), jnp.float32

@@ -160,7 +160,7 @@ class BatchedResamplerFft:
         sample_rate_output,
         *,
         mesh=None,
-        backend: str = "matmul",
+        backend: str = "auto",
     ) -> None:
         from ..dsp.planner import plan_conversion
         from ..types import SampleRate
@@ -175,16 +175,20 @@ class BatchedResamplerFft:
         )
         self.n_streams = n_streams
         self._mesh = mesh
-        step = fft_engine.make_fft_step(self._config, backend=backend)
-
-        def batched_step(state, chunks):
-            new_state, out = jax.vmap(step)(state, chunks)
-            return new_state, out
-
-        self._step = jax.jit(batched_step, donate_argnums=0)
-        state = jax.vmap(lambda _: fft_engine.fft_init(self._config, backend))(
-            jnp.arange(n_streams)
+        if mesh is not None and backend == "auto":
+            # Under a device mesh the batch axis is sharded through plain
+            # jit; keep the XLA matmul path, which GSPMD partitions
+            # natively (the Pallas magsplit kernel has no partitioning
+            # rule — select it explicitly for single-chip fleets).
+            backend = "matmul"
+        # The fleet step folds streams x channels into the row dimension of
+        # ONE device op (a single projector matmul / magsplit kernel call)
+        # instead of vmapping n_streams per-stream ops.
+        step = fft_engine.make_fft_fleet_step(
+            self._config, n_streams, backend=backend
         )
+        self._step = jax.jit(step, donate_argnums=0)
+        state = fft_engine.fft_fleet_init(self._config, n_streams, backend)
         self._state = shard_batch(state, mesh) if mesh is not None else state
 
     @property

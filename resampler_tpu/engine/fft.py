@@ -83,9 +83,9 @@ class FftConfig:
 FftState = dict
 
 
-def fft_init(config: FftConfig, backend: str = "matmul") -> FftState:
+def fft_init(config: FftConfig, backend: str = "auto") -> FftState:
     backend = _resolve_backend(config, backend)
-    if backend == "conv":
+    if backend in ("conv", "magsplit"):
         return {
             "prev": jnp.zeros(
                 (config.channels, config.fft_size_input), jnp.float32
@@ -98,10 +98,22 @@ def fft_init(config: FftConfig, backend: str = "matmul") -> FftState:
     }
 
 
+def _magsplit_plan(config: FftConfig):
+    from ..ops.fft_magsplit_kernel import plan_magsplit
+
+    return plan_magsplit(config.fft_size_input, config.fft_size_output)
+
+
 def _resolve_backend(config: FftConfig, backend: str) -> str:
     if backend == "auto":
-        # measured on v5e-1: the dense projector matmul beats the conv
-        # lowering at every batch size probed (experiments/fft_conv_probe)
+        # Measured on v5e-1 (experiments/fft_*_probe): the fused Pallas
+        # banded-magsplit kernel beats the dense HIGH projector 1.53x at
+        # better accuracy wherever the pair's band geometry allows; the
+        # dense projector matmul beats the conv lowering everywhere else.
+        # On non-TPU backends the XLA matmul is the production path
+        # (magsplit stays available explicitly, running interpreted).
+        if jax.default_backend() == "tpu" and _magsplit_plan(config):
+            return "magsplit"
         return "matmul"
     return backend
 
@@ -234,21 +246,60 @@ def get_projection_matrix(n_in: int, n_out: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def make_fft_step(config: FftConfig, *, backend: str = "matmul"):
+def _make_magsplit_step(config: FftConfig, n_rows: int):
+    """Shared magsplit chunk-op builder: ``f(prev [R, N], cur [R, N]) ->
+    out [R, M]`` via the fused Pallas banded-magsplit kernel (the
+    production TPU path — see ops/fft_magsplit_kernel.py).  Runs
+    interpreted off-TPU so the backend stays selectable (and testable)
+    everywhere."""
+    from ..ops.fft_magsplit_kernel import magsplit_projector, magsplit_weights
+
+    plan = _magsplit_plan(config)
+    if plan is None:
+        raise ValueError(
+            "magsplit backend: pair "
+            f"{config.fft_size_input}->{config.fft_size_output} has no "
+            "viable band plan (use backend='matmul')"
+        )
+    wh, wcorr = magsplit_weights(plan)
+    interpret = jax.default_backend() != "tpu"
+
+    def chunk_op(prev, cur):
+        return magsplit_projector(
+            prev, cur, wh, wcorr, plan=plan, interpret=interpret
+        )
+
+    return chunk_op
+
+
+def make_fft_step(config: FftConfig, *, backend: str = "auto"):
     """Build the pure chunk-step:
 
     ``step(state, chunk [C, N] f32) -> (state', out [C, M] f32)``
 
-    ``backend="conv"`` applies the channelized banded convolution (the
-    FLOP-reduced production form, see ``input_domain_conv_operator``);
-    ``backend="matmul"`` applies the fused projection matrix on the MXU;
-    ``backend="fft"`` mirrors the reference dataflow with ``jnp.fft``
-    (cross-check / very large custom sizes); ``backend="auto"`` picks
-    conv when viable, else matmul.
+    ``backend="magsplit"`` runs the fused Pallas banded magnitude-split
+    kernel (the production TPU path: ~0.42x HIGH's MXU work at a
+    *better* measured noise floor); ``backend="conv"`` applies the
+    channelized banded convolution (see ``input_domain_conv_operator``);
+    ``backend="matmul"`` applies the fused projection matrix on the MXU
+    at ``Precision.HIGH``; ``backend="fft"`` mirrors the reference
+    dataflow with ``jnp.fft`` (cross-check / very large custom sizes);
+    ``backend="auto"`` picks magsplit on TPU when the pair's band
+    geometry allows, else matmul.
     """
     n_in = config.fft_size_input
     n_out = config.fft_size_output
     backend = _resolve_backend(config, backend)
+
+    if backend == "magsplit":
+        C = config.channels
+        chunk_op = _make_magsplit_step(config, C)
+
+        def step(state: FftState, chunk):
+            chunk = chunk.astype(jnp.float32)
+            return {"prev": chunk}, chunk_op(state["prev"], chunk)
+
+        return step
 
     if backend == "conv":
         g = math.gcd(n_in, n_out)
@@ -343,7 +394,7 @@ def make_fft_step(config: FftConfig, *, backend: str = "matmul"):
 
 
 def make_fft_fleet_step(
-    config: FftConfig, n_streams: int, *, backend: str = "matmul"
+    config: FftConfig, n_streams: int, *, backend: str = "auto"
 ):
     """Fleet-wide FFT step: ``streams x channels`` folded into the row
     dimension of ONE device op.
@@ -361,6 +412,19 @@ def make_fft_fleet_step(
     C = config.channels
     B = n_streams
     backend = _resolve_backend(config, backend)
+
+    if backend == "magsplit":
+        chunk_op = _make_magsplit_step(config, B * C)
+
+        def step(state: FftState, chunks):
+            chunks = chunks.astype(jnp.float32)
+            out = chunk_op(
+                state["prev"].reshape(B * C, n_in),
+                chunks.reshape(B * C, n_in),
+            )
+            return {"prev": chunks}, out.reshape(B, C, n_out)
+
+        return step
 
     if backend == "conv":
         g = math.gcd(n_in, n_out)
@@ -402,9 +466,9 @@ def make_fft_fleet_step(
 
 
 def fft_fleet_init(
-    config: FftConfig, n_streams: int, backend: str = "matmul"
+    config: FftConfig, n_streams: int, backend: str = "auto"
 ) -> FftState:
-    if _resolve_backend(config, backend) == "conv":
+    if _resolve_backend(config, backend) in ("conv", "magsplit"):
         return {
             "prev": jnp.zeros(
                 (n_streams, config.channels, config.fft_size_input),
@@ -441,7 +505,7 @@ class ResamplerFft:
         sample_rate_input: SampleRate,
         sample_rate_output: SampleRate,
         *,
-        backend: str = "matmul",
+        backend: str = "auto",
     ) -> None:
         sample_rate_input = SampleRate(sample_rate_input)
         sample_rate_output = SampleRate(sample_rate_output)

@@ -1,0 +1,125 @@
+"""Banded magnitude-split FFT projector backend (ops/fft_magsplit_kernel).
+
+The kernel runs interpreted on the CPU backend; the real-TPU differential
+lives in tests_tpu/test_device_numerics.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from resampler_tpu.engine import fft as fft_engine
+from resampler_tpu.ops.fft_magsplit_kernel import (
+    magsplit_projector,
+    magsplit_weights,
+    plan_magsplit,
+    simulate_magsplit_floor,
+    _t2_f64,
+)
+
+
+def test_plan_eligibility():
+    # big common-family pairs are eligible with a high simulated floor
+    for pair in [(1176, 1280), (588, 1280), (1280, 1176), (2352, 2560)]:
+        plan = plan_magsplit(*pair)
+        assert plan is not None, pair
+        assert plan.floor_db >= 103.0
+        assert plan.b0 + plan.w_p <= plan.g + 1
+        # it must actually cut MXU work vs HIGH's 3 dense passes
+        assert plan.macs_per_sample < 0.6 * 3 * 2 * pair[0]
+    # degenerate band geometry -> no plan (engine falls back to matmul)
+    for pair in [(64, 192), (640, 882), (512, 1024)]:
+        assert plan_magsplit(*pair) is None, pair
+
+
+def test_simulated_floor_matches_plan():
+    plan = plan_magsplit(1176, 1280)
+    T2 = _t2_f64(1176, 1280)
+    floor = simulate_magsplit_floor(
+        1176, 1280, plan.bps, plan.b0, plan.w_p, T2
+    )
+    assert abs(floor - plan.floor_db) < 0.5
+
+
+@pytest.mark.parametrize("n_in,n_out", [(1176, 1280), (588, 1280)])
+def test_projector_matches_f64_reference(n_in, n_out):
+    plan = plan_magsplit(n_in, n_out)
+    wh, wcorr = magsplit_weights(plan)
+    rng = np.random.default_rng(11)
+    R = 8
+    prev = jnp.asarray(rng.standard_normal((R, n_in)), jnp.float32)
+    cur = jnp.asarray(rng.standard_normal((R, n_in)), jnp.float32)
+    out = magsplit_projector(prev, cur, wh, wcorr, plan=plan, interpret=True)
+    T2 = _t2_f64(n_in, n_out)
+    x2 = np.concatenate([np.asarray(prev), np.asarray(cur)], axis=1)
+    ref = x2.astype(np.float64) @ T2
+    err = np.asarray(out, np.float64) - ref
+    floor = -20 * np.log10(np.sqrt((err**2).mean() / (ref**2).mean()))
+    assert floor >= plan.floor_db - 2.0, floor  # accumulation-order slack
+
+
+def test_row_padding():
+    """R not a multiple of 8 is padded internally and sliced back."""
+    plan = plan_magsplit(588, 1280)
+    wh, wcorr = magsplit_weights(plan)
+    rng = np.random.default_rng(3)
+    prev = jnp.asarray(rng.standard_normal((5, 588)), jnp.float32)
+    cur = jnp.asarray(rng.standard_normal((5, 588)), jnp.float32)
+    out = magsplit_projector(prev, cur, wh, wcorr, plan=plan, interpret=True)
+    assert out.shape == (5, 1280)
+    out8 = magsplit_projector(
+        jnp.pad(prev, ((0, 3), (0, 0))), jnp.pad(cur, ((0, 3), (0, 0))),
+        wh, wcorr, plan=plan, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out8)[:5])
+
+
+def test_fleet_step_matches_matmul_backend():
+    """Streamed chunks through the magsplit fleet step equal the dense
+    HIGH projector fleet step to the arithmetic floor (both carry the
+    same overlap information: prev chunk vs overlap tail)."""
+    cfg = fft_engine.FftConfig(
+        channels=2, fft_size_input=588, fft_size_output=1280
+    )
+    B = 4
+    step_m = fft_engine.make_fft_fleet_step(cfg, B, backend="magsplit")
+    step_d = fft_engine.make_fft_fleet_step(cfg, B, backend="matmul")
+    sm = fft_engine.fft_fleet_init(cfg, B, "magsplit")
+    sd = fft_engine.fft_fleet_init(cfg, B, "matmul")
+    assert "prev" in sm and "overlap" in sd
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        chunks = jnp.asarray(rng.standard_normal((B, 2, 588)), jnp.float32)
+        sm, om = step_m(sm, chunks)
+        sd, od = step_d(sd, chunks)
+        np.testing.assert_allclose(
+            np.asarray(om), np.asarray(od), atol=5e-4
+        )
+
+
+def test_wrapper_backend_magsplit():
+    """ResamplerFft(backend='magsplit') equals the matmul backend through
+    the public chunked API (C=2 rows exercise the row padding)."""
+    from resampler_tpu.types import SampleRate
+
+    ra = fft_engine.ResamplerFft(
+        2, SampleRate.Hz22050, SampleRate.Hz48000, backend="magsplit"
+    )
+    rb = fft_engine.ResamplerFft(
+        2, SampleRate.Hz22050, SampleRate.Hz48000, backend="matmul"
+    )
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(4 * ra.chunk_size_input()).astype(np.float32)
+    ya = ra.process(x)
+    yb = rb.process(x)
+    np.testing.assert_allclose(ya, yb, atol=5e-4)
+
+
+def test_auto_resolves_matmul_off_tpu():
+    cfg = fft_engine.FftConfig(
+        channels=2, fft_size_input=1176, fft_size_output=1280
+    )
+    assert jax.default_backend() != "tpu"
+    assert fft_engine._resolve_backend(cfg, "auto") == "matmul"

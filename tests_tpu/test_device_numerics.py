@@ -120,8 +120,8 @@ def test_fft_matmul_matches_host_reference_on_device():
     cfg = fft_engine.FftConfig(
         channels=2, fft_size_input=1176, fft_size_output=1280
     )
-    step = fft_engine.make_fft_step(cfg)
-    state = fft_engine.fft_init(cfg)
+    step = fft_engine.make_fft_step(cfg, backend="matmul")
+    state = fft_engine.fft_init(cfg, "matmul")
     rng = np.random.default_rng(5)
     chunk = rng.standard_normal((2, 1176)).astype(np.float32)
 
@@ -149,7 +149,7 @@ def test_rfft_backend_runs_on_device():
     )
     sm = fft_engine.make_fft_step(cfg, backend="matmul")
     sr = fft_engine.make_fft_step(cfg, backend="rfft")
-    stm = fft_engine.fft_init(cfg)
+    stm = fft_engine.fft_init(cfg, "matmul")
     str_ = fft_engine.fft_init(cfg, "rfft")
     rng = np.random.default_rng(7)
     for _ in range(2):
@@ -190,3 +190,40 @@ def test_sync_tm_matches_slide_on_device():
         sb, ob, cb, pb = tm(sb, ch_tm, nv)
         assert int(ca) == int(cb) and int(pa) == int(pb)
         np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=2e-6)
+
+
+def test_fft_magsplit_kernel_on_device():
+    """The fused Pallas banded-magsplit kernel (the auto-selected TPU
+    production path, ops/fft_magsplit_kernel.py) compiled on hardware:
+    matches the dense HIGH projector fleet step to the arithmetic floor
+    and beats the -100 dB design accuracy vs an f64 host reference."""
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fft as fft_engine
+    from resampler_tpu.ops.fft_magsplit_kernel import _t2_f64, plan_magsplit
+
+    cfg = fft_engine.FftConfig(
+        channels=2, fft_size_input=1176, fft_size_output=1280
+    )
+    assert plan_magsplit(1176, 1280) is not None
+    B = 8
+    step_m = fft_engine.make_fft_fleet_step(cfg, B, backend="magsplit")
+    step_d = fft_engine.make_fft_fleet_step(cfg, B, backend="matmul")
+    sm = fft_engine.fft_fleet_init(cfg, B, "magsplit")
+    sd = fft_engine.fft_fleet_init(cfg, B, "matmul")
+    rng = np.random.default_rng(9)
+    T2 = _t2_f64(1176, 1280)
+    prev = np.zeros((B * 2, 1176))
+    for _ in range(2):
+        ch = rng.standard_normal((B, 2, 1176)).astype(np.float32)
+        sm, om = step_m(sm, jnp.asarray(ch))
+        sd, od = step_d(sd, jnp.asarray(ch))
+        np.testing.assert_allclose(np.asarray(om), np.asarray(od), atol=5e-4)
+        x2 = np.concatenate([prev, ch.reshape(B * 2, 1176)], axis=1)
+        ref = (x2 @ T2).reshape(B, 2, 1280)
+        err = np.asarray(om, np.float64) - ref
+        floor = -20 * np.log10(
+            np.sqrt((err**2).mean() / (ref**2).mean() + 1e-300)
+        )
+        assert floor >= 99.0, floor
+        prev = x2[:, 1176:]
