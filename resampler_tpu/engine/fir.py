@@ -787,6 +787,7 @@ def make_fir_fleet_step_sync_tm(
     *,
     max_chunk: int,
     horizon: int = 16,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """TIME-MAJOR synchronized-fleet step — the fastest measured serving
     path (v5e-1 headline config: **11.6 Gsamples/s = 84.5x reference**,
@@ -881,13 +882,38 @@ def make_fir_fleet_step_sync_tm(
         segs = jnp.concatenate(
             [blocks[bb : bb + K] for bb in range(n_blk)], axis=1
         )  # [K, s_len, R]
-        out = jnp.einsum(
-            "js,ksr->kjr",
-            a_pad,
-            segs,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [K, M, R]
+        if precision == "bf16x4":
+            # Double-bf16 contraction: 4 MXU passes for a ~-120 dB floor.
+            # XLA only offers 1/3/6-pass tiers; HIGH (3) omits the lo@lo
+            # product whose magnitude is exactly second order (~-96 dB —
+            # measured 95.6 dB alias rejection, below the 100 dB gate),
+            # while HIGHEST (6) wastes two passes well below the noise
+            # floor.  Stacking hi|lo along the contraction axis runs all
+            # four products as TWO single-pass bf16 dots
+            # (experiments/fir_precision_probe.py; split must be bit-ops,
+            # see ops/matmul3.split_hi_lo).
+            from ..ops.matmul3 import split_hi_lo
+
+            s_hi, s_lo = split_hi_lo(segs)
+            segs2 = jnp.concatenate([s_hi, s_lo], axis=1)  # [K, 2s, R]
+            a_hi, a_lo = split_hi_lo(a_pad)
+            w1 = jnp.concatenate([a_hi, a_hi], axis=1)  # [M, 2s]
+            w2 = jnp.concatenate([a_lo, a_lo], axis=1)
+            out = jnp.einsum(
+                "js,ksr->kjr", w1, segs2,
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "js,ksr->kjr", w2, segs2,
+                preferred_element_type=jnp.float32,
+            )  # [K, M, R]
+        else:
+            out = jnp.einsum(
+                "js,ksr->kjr",
+                a_pad,
+                segs,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # [K, M, R]
         out = out.reshape(K * M, R)[:out_cap]
         lane = jnp.arange(out_cap, dtype=jnp.int32)
         out = jnp.where((lane < n_out)[:, None], out, 0.0)
