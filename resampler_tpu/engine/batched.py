@@ -175,17 +175,13 @@ class BatchedResamplerFft:
         )
         self.n_streams = n_streams
         self._mesh = mesh
-        if mesh is not None and backend == "auto":
-            # Under a device mesh the batch axis is sharded through plain
-            # jit; keep the XLA matmul path, which GSPMD partitions
-            # natively (the Pallas magsplit kernel has no partitioning
-            # rule — select it explicitly for single-chip fleets).
-            backend = "matmul"
         # The fleet step folds streams x channels into the row dimension of
         # ONE device op (a single projector matmul / magsplit kernel call)
-        # instead of vmapping n_streams per-stream ops.
+        # instead of vmapping n_streams per-stream ops.  Under a mesh the
+        # magsplit kernel runs per-shard via shard_map (streams are
+        # embarrassingly parallel); the matmul path shards through GSPMD.
         step = fft_engine.make_fft_fleet_step(
-            self._config, n_streams, backend=backend
+            self._config, n_streams, backend=backend, mesh=mesh
         )
         self._step = jax.jit(step, donate_argnums=0)
         state = fft_engine.fft_fleet_init(self._config, n_streams, backend)

@@ -394,7 +394,7 @@ def make_fft_step(config: FftConfig, *, backend: str = "auto"):
 
 
 def make_fft_fleet_step(
-    config: FftConfig, n_streams: int, *, backend: str = "auto"
+    config: FftConfig, n_streams: int, *, backend: str = "auto", mesh=None
 ):
     """Fleet-wide FFT step: ``streams x channels`` folded into the row
     dimension of ONE device op.
@@ -415,6 +415,36 @@ def make_fft_fleet_step(
 
     if backend == "magsplit":
         chunk_op = _make_magsplit_step(config, B * C)
+
+        if mesh is not None:
+            # Streams are embarrassingly parallel, so the Pallas kernel
+            # runs per-shard under shard_map (GSPMD has no partitioning
+            # rule for it; shard_map needs none).
+            from jax.sharding import PartitionSpec as P
+
+            shard_map = jax.shard_map
+
+            from ..parallel.sharding import STREAM_AXIS
+
+            spec = P(STREAM_AXIS)
+
+            def shard_op(prev, cur):  # [b_loc, C, N] x2 -> [b_loc, C, M]
+                b_loc = prev.shape[0]
+                return chunk_op(
+                    prev.reshape(b_loc * C, n_in),
+                    cur.reshape(b_loc * C, n_in),
+                ).reshape(b_loc, C, n_out)
+
+            sharded_op = shard_map(
+                shard_op, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+                check_vma=False,  # pallas_call out_shape carries no vma
+            )
+
+            def step(state: FftState, chunks):
+                chunks = chunks.astype(jnp.float32)
+                return {"prev": chunks}, sharded_op(state["prev"], chunks)
+
+            return step
 
         def step(state: FftState, chunks):
             chunks = chunks.astype(jnp.float32)

@@ -162,7 +162,11 @@ def plan_magsplit(
 
     Eligibility mirrors ``conv_backend_viable`` (the band must have MXU
     meat: ``lp, mp >= 64``) plus ``g % bps == 0`` and ``g >= 2*bps`` (at
-    least two column groups, otherwise the banding saves nothing).
+    least two column groups, otherwise the banding saves nothing),
+    ``n_in <= 4096`` (larger pairs: host sim + weight build cost balloons
+    and the dense/rfft paths are the right tools), and the resident
+    weight stacks must fit VMEM (<= 40 MB — they are held on-chip across
+    all row tiles).
     """
     key = (n_in, n_out, target_floor_db, bps)
     with _PLAN_LOCK:
@@ -171,7 +175,10 @@ def plan_magsplit(
     g = math.gcd(n_in, n_out)
     lp, mp = n_in // g, n_out // g
     plan: MagsplitPlan | None = None
-    if g % bps == 0 and g >= 2 * bps and lp >= 64 and mp >= 64:
+    if (
+        g % bps == 0 and g >= 2 * bps and lp >= 64 and mp >= 64
+        and n_in <= 4096
+    ):
         T2 = _t2_f64(n_in, n_out)
         # magnitude center: the period of block 0 with the largest entry
         blk = np.abs(T2[:, :mp])
@@ -187,6 +194,10 @@ def plan_magsplit(
                     n_in=n_in, n_out=n_out, g=g, lp=lp, mp=mp, bps=bps,
                     b0=b0, w_p=w_p, floor_db=round(floor, 1),
                 )
+                # resident-weight VMEM budget
+                wbytes = plan.s * (plan.rows + 2 * plan.wc) * plan.cols * 2
+                if wbytes > 40 * 1024 * 1024:
+                    plan = None
                 break
     with _PLAN_LOCK:
         _PLAN_CACHE[key] = plan

@@ -123,3 +123,65 @@ def test_auto_resolves_matmul_off_tpu():
     )
     assert jax.default_backend() != "tpu"
     assert fft_engine._resolve_backend(cfg, "auto") == "matmul"
+
+
+def test_magsplit_sharded_over_mesh():
+    """The magsplit fleet step runs per-shard under shard_map on an
+    8-device mesh and equals the unsharded step."""
+    from resampler_tpu.parallel.sharding import shard_batch, stream_mesh
+
+    cfg = fft_engine.FftConfig(
+        channels=2, fft_size_input=588, fft_size_output=1280
+    )
+    B = 8
+    mesh = stream_mesh()
+    assert mesh.size == 8
+    step_s = jax.jit(
+        fft_engine.make_fft_fleet_step(cfg, B, backend="magsplit", mesh=mesh)
+    )
+    step_u = jax.jit(fft_engine.make_fft_fleet_step(cfg, B, backend="magsplit"))
+    ss = shard_batch(fft_engine.fft_fleet_init(cfg, B, "magsplit"), mesh)
+    su = fft_engine.fft_fleet_init(cfg, B, "magsplit")
+    rng = np.random.default_rng(4)
+    for _ in range(2):
+        chunks = jnp.asarray(rng.standard_normal((B, 2, 588)), jnp.float32)
+        ss, os_ = step_s(ss, shard_batch(chunks, mesh))
+        su, ou = step_u(su, chunks)
+        assert len(os_.sharding.device_set) == 8
+        np.testing.assert_allclose(
+            np.asarray(os_), np.asarray(ou), atol=1e-6
+        )
+
+
+def test_magsplit_matrix_all_eligible_sizes():
+    """Every distinct planner size pair that gets a magsplit plan matches
+    the dense projector (one chunk, interpret kernel)."""
+    import itertools
+
+    from resampler_tpu.dsp.planner import plan_conversion
+    from resampler_tpu.types import SampleRate
+
+    sizes = set()
+    for a, b in itertools.permutations(list(SampleRate), 2):
+        cfg = plan_conversion(a, b).scale_for_throughput()
+        sizes.add((cfg.fft_size_input, cfg.fft_size_output))
+    eligible = sorted(s for s in sizes if plan_magsplit(*s) is not None)
+    assert len(eligible) >= 4, eligible
+    rng = np.random.default_rng(2)
+    for n_in, n_out in eligible:
+        cfg = fft_engine.FftConfig(
+            channels=1, fft_size_input=n_in, fft_size_output=n_out
+        )
+        sm = fft_engine.make_fft_fleet_step(cfg, 2, backend="magsplit")
+        sd = fft_engine.make_fft_fleet_step(cfg, 2, backend="matmul")
+        stm = fft_engine.fft_fleet_init(cfg, 2, "magsplit")
+        std = fft_engine.fft_fleet_init(cfg, 2, "matmul")
+        for _ in range(2):
+            x = jnp.asarray(rng.standard_normal((2, 1, n_in)), jnp.float32)
+            stm, a = sm(stm, x)
+            std, b = sd(std, x)
+            scale = float(jnp.abs(b).max()) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4,
+                err_msg=f"pair {n_in}->{n_out}",
+            )
