@@ -120,11 +120,15 @@ def bench_fir(
     return produced_total * C / dt / 1e6
 
 
-def bench_fir_gather(dispatches=3, warmup=1, n_streams=64, chunk_frames=2048):
-    """The general gather path (coprime reduced ratio, here 44100->44101:
-    M = 44101 > MAX_PERIOD so no banded atlas exists).  Benched so every
-    selectable path has a recorded number (VERDICT r1 #5); its stopband
-    gate lives in tests/test_fir_engine.py::test_stopband_attenuation."""
+def bench_fir_arbitrary(
+    path, dispatches=3, warmup=1, n_streams=64, chunk_frames=2048
+):
+    """Arbitrary-ratio paths (coprime pair 44100->44101: M = 44101 >
+    MAX_PERIOD so no banded atlas exists).  ``path="farrow"`` is the
+    production default (polynomial-in-phase, no windows/gathers);
+    ``path="gather"`` is the table-lerp-exact fallback.  Both recorded so
+    every selectable path has a number (VERDICT r1 #5); quality gates in
+    tests/test_farrow.py and tests/test_fir_engine.py."""
     import jax
     import jax.numpy as jnp
 
@@ -142,7 +146,7 @@ def bench_fir_gather(dispatches=3, warmup=1, n_streams=64, chunk_frames=2048):
     coeffs = fir_engine.fir_coefficients(
         Latency.Sample64.taps, Attenuation.Db90, cutoff
     )
-    step = fir_engine.make_fir_step(cfg, coeffs, path="gather")
+    step = fir_engine.make_fir_step(cfg, coeffs, path=path)
     n_valid = jnp.full((n_streams,), chunk_frames, jnp.int32)
     budget = jnp.full((n_streams,), cfg.out_capacity, jnp.int32)
     state = jax.vmap(lambda _: fir_engine.fir_init(cfg))(jnp.arange(n_streams))
@@ -264,7 +268,8 @@ def quality_attestation():
 def main():
     fir_msps = bench_fir()
     fft_msps = bench_fft()
-    fir_gather_msps = bench_fir_gather()
+    fir_arb_msps = bench_fir_arbitrary("farrow")
+    fir_gather_msps = bench_fir_arbitrary("gather")
     fir_alias_db, fft_stopband_db = quality_attestation()
     result = {
         "metric": "Msamples/sec/chip stereo 44.1->48k FIR (Sample64, Db90, batched streams)",
@@ -276,6 +281,10 @@ def main():
             "fir_vs_reference": round(fir_msps / FIR_BASELINE_MSPS, 2),
             "fft_msamples_per_s": round(fft_msps, 1),
             "fft_vs_reference": round(fft_msps / FFT_BASELINE_MSPS, 2),
+            "fir_arbitrary_msamples_per_s": round(fir_arb_msps, 1),
+            "fir_arbitrary_vs_reference": round(
+                fir_arb_msps / FIR_BASELINE_MSPS, 2
+            ),
             "fir_gather_msamples_per_s": round(fir_gather_msps, 1),
             "fir_gather_vs_reference": round(
                 fir_gather_msps / FIR_BASELINE_MSPS, 2

@@ -355,6 +355,12 @@ def _convolve_gather(config: FirConfig, coeffs):
             filter_shape=(taps,),
             window_strides=(1,),
             padding="VALID",
+            # The patch extraction is a one-hot conv on the MXU: at the
+            # TPU's DEFAULT precision it ROUNDS EVERY WINDOW TO BF16
+            # (measured 7.5e-3 output error vs CPU — the silent-bf16 trap
+            # again, this time inside a "copy").  HIGHEST keeps the
+            # identity exact.
+            precision=jax.lax.Precision.HIGHEST,
         )  # [C, taps, j_max+3]
         x_im2col = jnp.transpose(patches, (0, 2, 1))  # [C, j_max+3, taps]
         x1 = jnp.take(x_im2col, j_c, axis=1)          # [C, N, taps]
@@ -367,6 +373,141 @@ def _convolve_gather(config: FirConfig, coeffs):
         o1 = jnp.sum(x1 * w[None, :, :], axis=2)  # [C, N]
         o2 = jnp.sum(x2 * w[None, :, :], axis=2)
         return jnp.where(wrap[None, :] == 1, o2, o1).T
+
+    return convolve
+
+
+#: Farrow path: polynomial degree and outputs-per-block for the blocked
+#: one-hot contraction.  Tuned on v5e-1 (44100->44101, B=64):
+#: Q=64 > 128 > 32/256; degree 7 (grid residual 8.7e-7, still below the
+#: table-lerp's own 1.2e-6) beats degree 9 141.9 vs 135.4 Msps.
+FARROW_DEGREE = 7
+FARROW_BLOCK = 64
+
+
+def farrow_matrix(coeffs, degree: int = FARROW_DEGREE):
+    """``[degree+1, taps]`` Chebyshev-basis coefficients fit to the phase
+    table: ``c_t(phi) ~= sum_k A[k, t] T_k(2 phi - 1)``.
+
+    The 1024-phase table is itself a sampling of the smooth continuous
+    coefficient function (one tap advances by one sample across
+    ``phi in [0, 1)``, so its bandwidth is ~1 cycle); a degree-9 fit
+    reproduces the grid to ~3e-8 — below the table-LERP's own ~1.2e-6
+    interpolation error.  Returns ``(A f32, max grid residual)``."""
+    table = np.asarray(coeffs, np.float64)  # [P, taps]
+    P = table.shape[0]
+    u = 2 * (np.arange(P) / P) - 1
+    V = np.polynomial.chebyshev.chebvander(u, degree)
+    A, *_ = np.linalg.lstsq(V, table, rcond=None)
+    resid = float(np.abs(V @ A - table).max())
+    return A.astype(np.float32), resid
+
+
+def _convolve_farrow(config: FirConfig, coeffs):
+    """General-rate path — FARROW STRUCTURE (the production arbitrary-
+    ratio path; measured 131 vs the gather path's 37 Msamples/s at
+    44100->44101, B=64 — reference-CPU parity for coprime ratios).
+
+    The gather path's wall is window-copy bytes: it materializes
+    ``[N, taps]`` windows twice (measured bound 64 Msps even with free
+    coefficients; static-slice decompositions of the takes measure the
+    same as ``jnp.take``).  The Farrow restructuring never builds
+    windows: per chunk,
+
+        Y = conv(region, A)          # [C, d+1, P] basis responses
+        out_i = sum_k T_k(u_i) * Y[k, off_i]
+
+    with ``A = farrow_matrix(coeffs)`` (polynomial-in-phase form of the
+    coefficient function), evaluated as ``N/Q`` blocked contractions
+    ``G = V_blk @ Y_blk`` whose per-output offset selection is a one-hot
+    mask FUSED into the reduction — no dynamic gathers anywhere; the
+    only traced-offset op is the same single contiguous region
+    ``dynamic_slice`` the gather path uses.
+
+    Numerics: evaluates the CONTINUOUS kernel — deviation from the
+    table-lerp semantics is the lerp's own ~1.2e-6 error except in the
+    reference's phase-1023 clamp bin (reference quirk:
+    src/resampler_fir.rs:560-563, p2 = min(p1+1, 1023) holds the last
+    1/1024 of each phase turn constant, ~3e-3 from the true kernel).
+    ``path="gather"`` remains selectable for table-lerp-exact outputs.
+    (reference arbitrary-rate support: src/resampler_fir.rs:295-404.)
+    """
+    L_ = config.ratio_num
+    M_ = config.ratio_den
+    taps = config.taps
+    C = config.channels
+    N = config.out_capacity
+    valid_end = config.input_capacity
+    degree, q = FARROW_DEGREE, FARROW_BLOCK
+    d1 = degree + 1
+
+    i = np.arange(N, dtype=np.int64)
+    j_np = ((i * L_) // M_).astype(np.int32)
+    s_np = ((i * L_) % M_).astype(np.int32)
+    j_max = int(j_np[-1])
+    region_len = j_max + 2 + taps
+    p_len = j_max + 2
+
+    K = -(-N // q)
+    n_pad = K * q
+    j_pad = np.concatenate([j_np, np.full(n_pad - N, j_np[-1], np.int32)])
+    s_pad = np.concatenate([s_np, np.zeros(n_pad - N, np.int32)])
+    block_base = j_pad.reshape(K, q)[:, 0]               # [K] static
+    j_loc = j_pad.reshape(K, q) - block_base[:, None]    # [K, q] static
+    w_max = int(j_loc.max()) + 2                         # +1 wrap, +1 j+1
+    y_pad_len = int(block_base.max()) + w_max
+
+    A, _ = farrow_matrix(coeffs, degree)
+    filt = jnp.asarray(A[:, None, :])  # [d1, 1, taps] (OIH)
+
+    j_loc_c = jnp.asarray(j_loc)
+    s_c = jnp.asarray(s_pad.reshape(K, q))
+    M = jnp.int32(M_)
+
+    def convolve(buffer, read_pos, pos_num, n_out):
+        base = pos_num // M
+        r = pos_num - base * M
+        avail = valid_end - read_pos
+        base = jnp.minimum(base, avail)
+
+        region = jax.lax.dynamic_slice(
+            buffer, (0, read_pos + base), (C, region_len)
+        )
+        y = jax.lax.conv_general_dilated(
+            region[:, None, :], filt, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [C, d1, p_len]
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, y_pad_len - p_len)))
+        y_blk = jnp.stack(
+            [
+                jax.lax.slice_in_dim(y, int(b), int(b) + w_max, axis=2)
+                for b in block_base
+            ],
+            axis=0,
+        )  # [K, C, d1, w_max] — static slices, no gather
+
+        wrap = (r + s_c >= M).astype(jnp.int32)          # [K, q]
+        frac = (r + s_c - M * wrap).astype(jnp.float32) / jnp.float32(M_)
+        u = 2.0 * frac - 1.0
+        ts = [jnp.ones_like(u), u]
+        for _ in range(d1 - 2):
+            ts.append(2.0 * u * ts[-1] - ts[-2])
+        v = jnp.stack(ts, axis=-1)                       # [K, q, d1]
+
+        g = jnp.einsum(
+            "kqd,kcdw->kcqw", v, y_blk,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        jl = j_loc_c + wrap
+        mask = (
+            jl[:, None, :, None]
+            == jnp.arange(w_max, dtype=jnp.int32)[None, None, None, :]
+        )
+        out = jnp.sum(jnp.where(mask, g, 0.0), axis=3)   # [K, C, q]
+        return jnp.transpose(out, (0, 2, 1)).reshape(K * q, C)[:N]
 
     return convolve
 
@@ -494,7 +635,8 @@ def _convolve_periodic(config: FirConfig, coeffs):
 
 def resolve_convolve_path(config: FirConfig, path: str = "auto") -> str:
     """Pick the convolution strategy: the periodic banded matmul whenever
-    the schedule period fits on chip, else the general gather path."""
+    the schedule period fits on chip, else the Farrow polynomial path
+    (``path="gather"`` selects the table-lerp-exact general path)."""
     if path != "auto":
         return path
     atlas_bytes = 8 * config.ratio_den * (2 * config.ratio_num + config.taps + 1)
@@ -504,7 +646,7 @@ def resolve_convolve_path(config: FirConfig, path: str = "auto") -> str:
         and atlas_bytes <= MAX_ATLAS_BYTES
     ):
         return "periodic"
-    return "gather"
+    return "farrow"
 
 
 def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
@@ -523,6 +665,8 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
     path = resolve_convolve_path(config, path)
     if path == "periodic":
         _convolve = _convolve_periodic(config, coeffs)
+    elif path == "farrow":
+        _convolve = _convolve_farrow(config, coeffs)
     elif path == "gather":
         _convolve = _convolve_gather(config, coeffs)
     else:

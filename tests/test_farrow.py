@@ -1,0 +1,156 @@
+"""Farrow polynomial path — the production arbitrary-ratio FIR path.
+
+The Farrow path evaluates the CONTINUOUS coefficient kernel (degree-9
+Chebyshev per tap); the gather path reproduces the reference's
+1024-phase table LERP.  They agree to the lerp's own interpolation error
+(~1e-6 relative) everywhere except the reference's phase-1023 clamp bin
+(src/resampler_fir.rs quirk: p2 = min(p1+1, 1023) holds the last 1/1024
+of the phase turn constant, ~3e-3 from the true kernel) — the tests are
+clamp-aware.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from resampler_tpu.engine import fir as fe
+from resampler_tpu.types import Attenuation, Latency, reduce_ratio
+
+
+def _build(in_hz, out_hz, taps=64):
+    L, M = reduce_ratio(in_hz, out_hz)
+    cfg = fe.FirConfig(channels=2, taps=taps, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(taps, Attenuation.Db90, in_hz / out_hz)
+    coeffs = fe.fir_coefficients(taps, Attenuation.Db90, cutoff)
+    return cfg, coeffs
+
+
+def test_farrow_matrix_residual():
+    _, coeffs = _build(44100, 44101)
+    A, resid = fe.farrow_matrix(coeffs)
+    assert A.shape == (fe.FARROW_DEGREE + 1, 64)
+    # grid residual: ~8.7e-7 at degree 7 — below the 1024-phase table
+    # lerp's own ~1.2e-6 interpolation error
+    assert resid < 1.2e-6, resid
+
+
+def test_auto_path_is_farrow_for_coprime():
+    cfg, _ = _build(44100, 44101)
+    assert fe.resolve_convolve_path(cfg) == "farrow"
+    cfg2, _ = _build(44100, 48000)
+    assert fe.resolve_convolve_path(cfg2) == "periodic"
+
+
+@pytest.mark.parametrize("pos", [0, 12345, 44100])
+def test_farrow_vs_gather_clamp_aware(pos):
+    """Single-convolve differential with the clamp bins separated."""
+    cfg, coeffs = _build(44100, 44101)
+    conv_f = fe._convolve_farrow(cfg, coeffs)
+    conv_g = fe._convolve_gather(cfg, coeffs)
+    rng = np.random.default_rng(0)
+    buf = np.zeros((2, cfg.buffer_alloc), np.float32)
+    avail = 3000
+    buf[:, cfg.input_capacity - avail : cfg.input_capacity] = (
+        rng.standard_normal((2, avail)).astype(np.float32)
+    )
+    rp = jnp.int32(cfg.input_capacity - avail)
+    of = np.asarray(
+        jax.jit(conv_f)(jnp.asarray(buf), rp, jnp.int32(pos),
+                        jnp.int32(cfg.out_capacity))
+    )
+    og = np.asarray(
+        jax.jit(conv_g)(jnp.asarray(buf), rp, jnp.int32(pos),
+                        jnp.int32(cfg.out_capacity))
+    )
+    n_valid = (avail - cfg.taps + 1) * cfg.ratio_den // cfg.ratio_num
+
+    # recompute each output's phase index independently (numpy, exact)
+    M_, phases = cfg.ratio_den, cfg.phases
+    i = np.arange(n_valid, dtype=np.int64)
+    num = (pos % M_) + (i * cfg.ratio_num) % M_
+    rem = num % M_
+    p1 = (rem * phases) // M_
+    clamp = p1 >= phases - 1  # the reference clamp bin
+
+    diff = np.abs(of[:n_valid] - og[:n_valid]).max(axis=1)
+    if (~clamp).any():
+        assert diff[~clamp].max() < 5e-5, diff[~clamp].max()
+    if clamp.any():
+        assert diff[clamp].max() < 2e-2, diff[clamp].max()
+
+
+def test_farrow_streaming_matches_gather():
+    """Full streaming step: identical consumed/produced bookkeeping, and
+    outputs agree to the lerp floor at the 99th percentile (clamp bins
+    are ~1/1024 of outputs)."""
+    cfg, coeffs = _build(44100, 88201, taps=32)
+    step_f = jax.jit(fe.make_fir_step(cfg, coeffs, path="farrow"))
+    step_g = jax.jit(fe.make_fir_step(cfg, coeffs, path="gather"))
+    sf = fe.fir_init(cfg)
+    sg = fe.fir_init(cfg)
+    rng = np.random.default_rng(1)
+    L_, M_, phases = cfg.ratio_num, cfg.ratio_den, cfg.phases
+    diffs, clamps = [], []
+    for _ in range(6):
+        n = 512
+        chunk = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
+        nv = jnp.int32(int(rng.integers(1, n + 1)))
+        bud = jnp.int32(cfg.out_capacity)
+        pos0 = int(sg["pos_num"])  # exact schedule shared by both paths
+        sf, outf, cf, pf = step_f(sf, chunk, nv, bud)
+        sg, outg, cg, pg = step_g(sg, chunk, nv, bud)
+        assert int(cf) == int(cg) and int(pf) == int(pg)
+        p = int(pf)
+        if p:
+            diffs.append(
+                np.abs(np.asarray(outf)[:p] - np.asarray(outg)[:p]).max(axis=1)
+            )
+            i = np.arange(p, dtype=np.int64)
+            rem = (pos0 + i * L_) % M_
+            clamps.append((rem * phases) // M_ >= phases - 1)
+    d = np.concatenate(diffs)
+    clamp = np.concatenate(clamps)
+    assert d.max() < 2e-2
+    if (~clamp).any():
+        assert d[~clamp].max() < 5e-5, d[~clamp].max()
+
+
+def test_farrow_stopband():
+    """Alias rejection through the public wrapper on a coprime pair with
+    the default (farrow) path — same procedure as
+    test_fir_engine.test_stopband_attenuation."""
+    from resampler_tpu import ResamplerFir
+
+    in_hz, out_hz = 44100, 88201
+    n = 30000
+    x = np.zeros(n, np.float32)
+    x[n // 2] = 1.0
+    r = ResamplerFir(1, in_hz, out_hz, Latency.Sample64, Attenuation.Db90)
+    out_buf = np.zeros(r.buffer_size_output(), np.float32)
+    pieces, offset = [], 0
+    while offset < n:
+        end = min(offset + 2048, n)
+        consumed, produced = r.resample(x[offset:end], out_buf)
+        pieces.append(out_buf[:produced].copy())
+        offset += consumed
+        if consumed == 0 and produced == 0:
+            break
+    y = np.concatenate(pieces)
+
+    peak = int(np.argmax(np.abs(y)))
+    w = int(out_hz * 0.1)
+    s = max(peak - w // 2, 0)
+    spec = np.fft.rfft(y[s : s + w], 8192)
+    mag = 20 * np.log10(np.maximum(np.abs(spec), 1e-10))
+
+    def b(f):
+        return round(f / out_hz * 8192)
+
+    nyq = in_hz / 2
+    att = (
+        mag[b(20.0) : b(nyq * 0.9) + 1].max()
+        - mag[b(nyq * 1.1) : b(out_hz / 2 * 0.95) + 1].max()
+    )
+    assert att >= 90.0, f"farrow stopband {att:.1f} dB"

@@ -47,7 +47,16 @@ def test_differential_vs_scalar_model(in_hz, out_hz, latency):
     C = 2
     x = rng.standard_normal(2 * 9000).astype(np.float32) * 0.5
 
-    ours = ResamplerFir(C, in_hz, out_hz, latency, Attenuation.Db90)
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    # The scalar model implements the reference's table-LERP semantics;
+    # for non-periodic ratios force the lerp-exact gather path (the
+    # default farrow path evaluates the continuous kernel — its own
+    # differential lives in tests/test_farrow.py)
+    _, M = reduce_ratio(in_hz, out_hz)
+    path = "gather" if M > fe.MAX_PERIOD else "auto"
+    ours = ResamplerFir(C, in_hz, out_hz, latency, Attenuation.Db90, path=path)
     theirs = ScalarFir(C, in_hz, out_hz, latency.taps, 10.0)
 
     out_buf = np.zeros(ours.buffer_size_output(), np.float32)

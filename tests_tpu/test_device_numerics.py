@@ -227,3 +227,43 @@ def test_fft_magsplit_kernel_on_device():
         )
         assert floor >= 99.0, floor
         prev = x2[:, 1176:]
+
+
+def test_arbitrary_rate_paths_device_vs_cpu():
+    """Both arbitrary-ratio convolve paths (farrow = production,
+    gather = table-lerp-exact) compute the same answers on the
+    accelerator as on CPU.  Regression for the silent-bf16 trap inside
+    conv_general_dilated_patches: the one-hot patch extraction runs on
+    the MXU and at DEFAULT precision rounded every window to bf16
+    (measured 7.5e-3 output error) — gates any future precision loss in
+    either path's device lowering."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    L, M = reduce_ratio(44100, 44101)
+    cfg = fe.FirConfig(channels=2, taps=64, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(64, Attenuation.Db90, 44100 / 44101)
+    coeffs = fe.fir_coefficients(64, Attenuation.Db90, cutoff)
+    rng = np.random.default_rng(0)
+    buf = np.zeros((2, cfg.buffer_alloc), np.float32)
+    avail = 3000
+    buf[:, cfg.input_capacity - avail : cfg.input_capacity] = (
+        rng.standard_normal((2, avail)).astype(np.float32)
+    )
+    rp = jnp.int32(cfg.input_capacity - avail)
+    pos = jnp.int32(12345)
+    bud = jnp.int32(cfg.out_capacity)
+    n_valid = (avail - cfg.taps + 1) * M // L
+    cpu = jax.devices("cpu")[0]
+    for path, builder in [
+        ("farrow", fe._convolve_farrow), ("gather", fe._convolve_gather)
+    ]:
+        conv = builder(cfg, coeffs)
+        dev = np.asarray(jax.jit(conv)(jnp.asarray(buf), rp, pos, bud))
+        with jax.default_device(cpu):
+            ref = np.asarray(jax.jit(conv)(jnp.asarray(buf), rp, pos, bud))
+        d = np.abs(dev[:n_valid] - ref[:n_valid]).max()
+        assert d < 5e-5, f"{path}: device-vs-cpu {d:.2e}"
