@@ -3,14 +3,16 @@
 
 Run:  python examples/serving_demo.py        (CPU or TPU)
 
-Shows the three serving tiers:
+Shows the four serving tiers:
 1. `StreamingFleet` — ragged producers push interleaved audio into a
    thread-safe staging pool; each `step()` drains one batch through the
    vmapped device engine (arbitrary per-stream sizes).
-2. The functional time-major sync step — the 83x-reference fast path for
-   phase-locked fleets (equal frames per stream per step), embedded in a
-   caller's own jit program.
+2. The functional time-major sync step — the ~85x-reference fast path
+   for phase-locked fleets (equal frames per stream per step), embedded
+   in a caller's own jit program.
 3. Checkpoint/resume of explicit stream state (SURVEY.md §5 analog).
+4. FFT fleet with the auto backend (on TPU: the fused Pallas banded
+   magsplit kernel, the 56.6x path) via `BatchedResamplerFft`.
 """
 
 import sys
@@ -98,7 +100,34 @@ def tier3_checkpoint(tmp="/tmp/fleet_state.npz"):
           f"({cont.size} samples)")
 
 
+def tier4_fft_fleet():
+    print("== tier 4: FFT fleet (auto backend; magsplit kernel on TPU) ==")
+    from resampler_tpu.engine.batched import BatchedResamplerFft
+
+    B, C = 8, 2
+    fleet = BatchedResamplerFft(B, C, 22050, 48000)
+    N = fleet.config.fft_size_input
+    n_chunks = 8
+    t = np.arange(n_chunks * N) / 22050
+    tones = np.stack(
+        [
+            np.stack([0.4 * np.sin(2 * np.pi * (300 + 40 * s) * t)] * C)
+            for s in range(B)
+        ]
+    ).astype(np.float32)  # [B, C, n_chunks*N]
+    outs = []
+    for k in range(n_chunks):
+        outs.append(np.asarray(fleet.resample(tones[:, :, k * N : (k + 1) * N])))
+    y = np.concatenate(outs, axis=2)[0, 0]
+    seg = y[3000:-3000]
+    zc = np.where((seg[:-1] < 0) & (seg[1:] >= 0))[0]
+    f = (len(zc) - 1) / ((zc[-1] - zc[0]) / 48000)
+    print(f"  {B} streams x {n_chunks} chunks: stream 0 tone {f:.2f} Hz "
+          f"(expected 300), peak {np.abs(y).max():.3f}")
+
+
 if __name__ == "__main__":
     tier1_streaming_fleet()
     tier2_time_major_sync()
     tier3_checkpoint()
+    tier4_fft_fleet()
