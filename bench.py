@@ -121,7 +121,7 @@ def bench_fir(
 
 
 def bench_fir_arbitrary(
-    path, dispatches=3, warmup=1, n_streams=64, chunk_frames=2048
+    path, dispatches=5, warmup=2, n_streams=256, chunk_frames=2048
 ):
     """Arbitrary-ratio paths (coprime pair 44100->44101: M = 44101 >
     MAX_PERIOD so no banded atlas exists).  ``path="farrow"`` is the
@@ -269,7 +269,7 @@ def main():
     fir_msps = bench_fir()
     fft_msps = bench_fft()
     fir_arb_msps = bench_fir_arbitrary("farrow")
-    fir_gather_msps = bench_fir_arbitrary("gather")
+    fir_gather_msps = bench_fir_arbitrary("gather", n_streams=64)
     fir_alias_db, fft_stopband_db = quality_attestation()
     result = {
         "metric": "Msamples/sec/chip stereo 44.1->48k FIR (Sample64, Db90, batched streams)",
