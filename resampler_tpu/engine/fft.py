@@ -3,25 +3,34 @@
 Re-design of the reference FFT resampler
 (reference: src/resampler_fft.rs:38-425) around one TPU-first idea:
 
-**The whole spectral pipeline is one matrix.**  Per chunk the reference
-runs: zero-pad N→2N → forward real FFT → multiply by a precomputed Kaiser
-filter spectrum → truncate/zero-pad bins to the output size → inverse real
-FFT at 2M → overlap-add.  Every step is linear in the input, and chunk
-sizes are small and fixed (N ≤ 4096, from the planner table), so the
-composition is a dense ``[N, 2M]`` real matrix ``T`` — precomputed once in
-float64 on the host (the reference computes f32 FFTs at runtime; designing
-``T`` in f64 and casting once is strictly more accurate), cached
-process-wide like the reference's FFT_CACHE, and applied on the MXU as a
-single matmul per chunk.  Batched over channels and streams this reaches
-MXU speed-of-light; there is no FFT butterfly code on the hot path at all
-(the reference spends ~8.4k LoC of SIMD on that — SURVEY.md §2.5).
+**The whole spectral pipeline is one linear operator.**  Per chunk the
+reference runs: zero-pad N→2N → forward real FFT → multiply by a
+precomputed Kaiser filter spectrum → truncate/zero-pad bins to the output
+size → inverse real FFT at 2M → overlap-add.  Every step is linear in the
+input, and chunk sizes are small and fixed (N ≤ 4096, from the planner
+table), so the composition is precomputed once in float64 on the host
+(the reference computes f32 FFTs at runtime; designing the operator in
+f64 and casting once is strictly more accurate), cached process-wide like
+the reference's FFT_CACHE, and applied on the MXU.  There is no FFT
+butterfly code on the hot path at all (the reference spends ~8.4k LoC of
+SIMD on that — SURVEY.md §2.5).
 
-A ``jnp.fft``-based step is kept as a cross-checking backend
-(``backend="fft"``), mirroring the reference dataflow op-for-op; tests
-assert both paths agree.
+Two production forms of the operator:
 
-The overlap-add carry is explicit pytree state ``overlap [C, M]``, so the
-engine jits, vmaps (multi-stream), and shards like the FIR engine.
+- ``backend="magsplit"`` (auto-selected on TPU when the pair's band
+  geometry allows): the fused Pallas banded magnitude-split kernel
+  (ops/fft_magsplit_kernel.py) — 0.42x the MXU work of the dense matmul
+  at a better measured noise floor.
+- ``backend="matmul"``: the dense ``[N, 2M]`` projector at
+  ``Precision.HIGH`` — production off-TPU and for band-ineligible pairs.
+
+Cross-check / escape-hatch backends: ``"conv"`` (banded channelized
+form), ``"rfft"`` (device runtime FFT for outsized custom pairs),
+``"fft"`` (``jnp.fft`` op-for-op mirror of the reference dataflow).
+
+The carry is explicit pytree state (``overlap [C, M]`` for the spectral
+forms; the previous chunk for the input-domain forms), so the engine
+jits, vmaps (multi-stream), and shards like the FIR engine.
 """
 
 from __future__ import annotations
@@ -246,7 +255,7 @@ def get_projection_matrix(n_in: int, n_out: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def _make_magsplit_step(config: FftConfig, n_rows: int):
+def _make_magsplit_step(config: FftConfig):
     """Shared magsplit chunk-op builder: ``f(prev [R, N], cur [R, N]) ->
     out [R, M]`` via the fused Pallas banded-magsplit kernel (the
     production TPU path — see ops/fft_magsplit_kernel.py).  Runs
@@ -293,7 +302,7 @@ def make_fft_step(config: FftConfig, *, backend: str = "auto"):
 
     if backend == "magsplit":
         C = config.channels
-        chunk_op = _make_magsplit_step(config, C)
+        chunk_op = _make_magsplit_step(config)
 
         def step(state: FftState, chunk):
             chunk = chunk.astype(jnp.float32)
@@ -414,7 +423,7 @@ def make_fft_fleet_step(
     backend = _resolve_backend(config, backend)
 
     if backend == "magsplit":
-        chunk_op = _make_magsplit_step(config, B * C)
+        chunk_op = _make_magsplit_step(config)
 
         if mesh is not None:
             # Streams are embarrassingly parallel, so the Pallas kernel
