@@ -226,6 +226,40 @@ def bench_fft(dispatches=5, warmup=2, n_streams=8192):
     return samples / dt / 1e6
 
 
+def farrow_device_attestation():
+    """The benched arbitrary-ratio path must compute the same answers on
+    the bench device as on CPU (where its stopband is gated by
+    tests/test_farrow.py) — the trap class this guards against is a
+    silent bf16 lowering, which measured 7.5e-3 here before being
+    caught.  Returns the max |device - cpu| over one convolve."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fir_engine
+    from resampler_tpu.types import Attenuation, reduce_ratio
+
+    L, M = reduce_ratio(44100, 44101)
+    cfg = fir_engine.FirConfig(channels=2, taps=64, ratio_num=L, ratio_den=M)
+    cutoff = fir_engine.fir_cutoff(64, Attenuation.Db90, 44100 / 44101)
+    coeffs = fir_engine.fir_coefficients(64, Attenuation.Db90, cutoff)
+    conv = fir_engine._convolve_farrow(cfg, coeffs)
+    rng = np.random.default_rng(0)
+    buf = np.zeros((2, cfg.buffer_alloc), np.float32)
+    avail = 2000
+    buf[:, cfg.input_capacity - avail : cfg.input_capacity] = (
+        rng.standard_normal((2, avail)).astype(np.float32)
+    )
+    args = (
+        jnp.asarray(buf), jnp.int32(cfg.input_capacity - avail),
+        jnp.int32(12345), jnp.int32(cfg.out_capacity),
+    )
+    dev = np.asarray(jax.jit(conv)(*args))
+    with jax.default_device(jax.devices("cpu")[0]):
+        ref = np.asarray(jax.jit(conv)(*args))
+    n_valid = (avail - cfg.taps + 1) * M // L
+    return float(np.abs(dev[:n_valid] - ref[:n_valid]).max())
+
+
 def quality_attestation():
     """Measure signal quality ON THE BENCH DEVICE so throughput numbers
     can never silently trade away precision (e.g. a bf16 matmul default
@@ -271,6 +305,7 @@ def main():
     fir_arb_msps = bench_fir_arbitrary("farrow")
     fir_gather_msps = bench_fir_arbitrary("gather", n_streams=64)
     fir_alias_db, fft_stopband_db = quality_attestation()
+    farrow_dev_err = farrow_device_attestation()
     result = {
         "metric": "Msamples/sec/chip stereo 44.1->48k FIR (Sample64, Db90, batched streams)",
         "value": round(fir_msps, 1),
@@ -291,7 +326,12 @@ def main():
             ),
             "fir_alias_rejection_db": round(fir_alias_db, 1),
             "fft_stopband_db": round(fft_stopband_db, 1),
-            "quality_ok": bool(fir_alias_db >= 100.0 and fft_stopband_db >= 99.0),
+            "farrow_device_err": float(f"{farrow_dev_err:.2e}"),
+            "quality_ok": bool(
+                fir_alias_db >= 100.0
+                and fft_stopband_db >= 99.0
+                and farrow_dev_err < 5e-5
+            ),
             "reference": "hasenbanck/resampler on AMD Ryzen 9 9950X3D (BASELINE.md)",
         },
     }
