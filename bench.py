@@ -226,6 +226,45 @@ def bench_fft(dispatches=5, warmup=2, n_streams=8192):
     return samples / dt / 1e6
 
 
+def fft_bench_pair_attestation():
+    """Noise floor of the BENCHED pair's production path (1176->1280
+    magsplit on TPU) vs an f64 host reference, measured in-run.  The
+    stopband attestation below exercises a different plan (the 588->1280
+    pair), so without this a geometry-specific kernel regression could
+    ship under a green quality_ok."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fft as fft_engine
+
+    cfg = fft_engine.FftConfig(
+        channels=2, fft_size_input=1176, fft_size_output=1280
+    )
+    B = 8
+    step = jax.jit(fft_engine.make_fft_fleet_step(cfg, B), donate_argnums=0)
+    state = fft_engine.fft_fleet_init(cfg, B)
+    rng = np.random.default_rng(11)
+    from resampler_tpu.engine.fft import get_projection_matrix
+
+    proj = get_projection_matrix(1176, 1280).astype(np.float64)
+    overlap = np.zeros((B, 2, 1280))
+    floor = 1e9
+    for _ in range(2):
+        ch = rng.standard_normal((B, 2, 1176)).astype(np.float32)
+        state, out = step(state, jnp.asarray(ch))
+        full = ch.astype(np.float64) @ proj
+        ref = full[:, :, :1280] + overlap
+        overlap = full[:, :, 1280:]
+        err = np.asarray(out, np.float64) - ref
+        floor = min(
+            floor,
+            float(-20 * np.log10(
+                np.sqrt((err**2).mean() / (ref**2).mean() + 1e-300)
+            )),
+        )
+    return floor
+
+
 def farrow_device_attestation():
     """The benched arbitrary-ratio path must compute the same answers on
     the bench device as on CPU (where its stopband is gated by
@@ -306,6 +345,7 @@ def main():
     fir_gather_msps = bench_fir_arbitrary("gather", n_streams=64)
     fir_alias_db, fft_stopband_db = quality_attestation()
     farrow_dev_err = farrow_device_attestation()
+    fft_pair_floor_db = fft_bench_pair_attestation()
     result = {
         "metric": "Msamples/sec/chip stereo 44.1->48k FIR (Sample64, Db90, batched streams)",
         "value": round(fir_msps, 1),
@@ -327,10 +367,12 @@ def main():
             "fir_alias_rejection_db": round(fir_alias_db, 1),
             "fft_stopband_db": round(fft_stopband_db, 1),
             "farrow_device_err": float(f"{farrow_dev_err:.2e}"),
+            "fft_bench_pair_floor_db": round(fft_pair_floor_db, 1),
             "quality_ok": bool(
                 fir_alias_db >= 100.0
                 and fft_stopband_db >= 99.0
                 and farrow_dev_err < 5e-5
+                and fft_pair_floor_db >= 99.0
             ),
             "reference": "hasenbanck/resampler on AMD Ryzen 9 9950X3D (BASELINE.md)",
         },

@@ -107,6 +107,40 @@ def fft_init(config: FftConfig, backend: str = "auto") -> FftState:
     }
 
 
+def convert_fft_state(state: FftState, config: FftConfig, backend: str) -> FftState:
+    """Convert a carry pytree to the schema ``backend`` expects.
+
+    ``backend="auto"`` resolves per platform, so a checkpoint written on
+    TPU (magsplit: ``{"prev"}``) may be restored where matmul
+    (``{"overlap"}``) is production.  ``prev -> overlap`` is exact
+    (``overlap = prev @ T[:, M:]``, computed at HIGHEST); the reverse is
+    not invertible — construct the resampler with an explicit
+    ``backend`` matching the checkpoint instead."""
+    backend = _resolve_backend(config, backend)
+    want_prev = backend in ("conv", "magsplit")
+    if ("prev" in state) == want_prev:
+        return state
+    if "prev" in state and not want_prev:
+        proj = jnp.asarray(
+            get_projection_matrix(
+                config.fft_size_input, config.fft_size_output
+            )[:, config.fft_size_output :]
+        )
+        overlap = jnp.dot(
+            jnp.asarray(state["prev"], jnp.float32),
+            proj,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return {"overlap": overlap}
+    raise ValueError(
+        "cannot convert an {'overlap'} carry to the input-domain "
+        f"{backend!r} backend's {{'prev'}} state (the projection is not "
+        "invertible); construct the resampler with backend='matmul' to "
+        "restore this checkpoint"
+    )
+
+
 def _magsplit_plan(config: FftConfig):
     from ..ops.fft_magsplit_kernel import plan_magsplit
 
@@ -598,7 +632,10 @@ class ResamplerFft:
 
     @state.setter
     def state(self, value: FftState) -> None:
-        self._state = value
+        # Accept carries checkpointed under a different backend
+        # resolution (e.g. saved on TPU with the magsplit {"prev"}
+        # schema, restored where matmul's {"overlap"} is production).
+        self._state = convert_fft_state(value, self._config, self._backend)
 
     def resample(self, input, output) -> None:
         """Resample exactly one interleaved chunk

@@ -383,6 +383,12 @@ def _convolve_gather(config: FirConfig, coeffs):
 #: table-lerp's own 1.2e-6) beats degree 9 141.9 vs 135.4 Msps.
 FARROW_DEGREE = 7
 FARROW_BLOCK = 64
+#: Per-block input span cap: each block's contraction does ~w_max*(d+1)
+#: MACs per output with w_max ~= FARROW_BLOCK*L/M, so heavy coprime
+#: DOWNSAMPLING (large L/M) inflates both the blocked intermediates
+#: ([K, C, Q, w_max] at fleet scale) and the per-output work; beyond
+#: this span the gather path is the better general fallback.
+FARROW_MAX_WIDTH = 1024
 
 
 def farrow_matrix(coeffs, degree: int = FARROW_DEGREE):
@@ -446,7 +452,7 @@ def _convolve_farrow(config: FirConfig, coeffs):
     s_np = ((i * L_) % M_).astype(np.int32)
     j_max = int(j_np[-1])
     region_len = j_max + 2 + taps
-    p_len = j_max + 2
+    p_len = j_max + 3  # VALID conv positions: region_len - taps + 1
 
     K = -(-N // q)
     n_pad = K * q
@@ -635,8 +641,10 @@ def _convolve_periodic(config: FirConfig, coeffs):
 
 def resolve_convolve_path(config: FirConfig, path: str = "auto") -> str:
     """Pick the convolution strategy: the periodic banded matmul whenever
-    the schedule period fits on chip, else the Farrow polynomial path
-    (``path="gather"`` selects the table-lerp-exact general path)."""
+    the schedule period fits on chip; the Farrow polynomial path for
+    other ratios with a bounded per-block span; the gather path for
+    heavy coprime downsampling beyond it (``path="gather"`` also selects
+    the table-lerp-exact general path explicitly)."""
     if path != "auto":
         return path
     atlas_bytes = 8 * config.ratio_den * (2 * config.ratio_num + config.taps + 1)
@@ -646,7 +654,10 @@ def resolve_convolve_path(config: FirConfig, path: str = "auto") -> str:
         and atlas_bytes <= MAX_ATLAS_BYTES
     ):
         return "periodic"
-    return "farrow"
+    farrow_w = (FARROW_BLOCK * config.ratio_num) // config.ratio_den + 4
+    if farrow_w <= FARROW_MAX_WIDTH:
+        return "farrow"
+    return "gather"
 
 
 def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
@@ -655,7 +666,9 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
     ``step(state, chunk_frames [n, C] f32, n_valid, out_budget) ->
     (state', out_frames [out_capacity, C] f32, consumed, produced)``
     with frames counted per channel.  Jit-compatible; shapes static per
-    input bucket.  ``path``: "auto" | "periodic" | "gather".
+    input bucket.  ``path``: "auto" | "periodic" | "farrow" | "gather" — "auto"
+    resolves to farrow (continuous-kernel semantics) for most coprime
+    ratios; see ``resolve_convolve_path``.
     """
     coeffs = jnp.asarray(coeffs, jnp.float32)
     assert coeffs.shape == (config.phases, config.taps)

@@ -1,7 +1,7 @@
 """Farrow polynomial path — the production arbitrary-ratio FIR path.
 
-The Farrow path evaluates the CONTINUOUS coefficient kernel (degree-9
-Chebyshev per tap); the gather path reproduces the reference's
+The Farrow path evaluates the CONTINUOUS coefficient kernel (degree-7
+Chebyshev per tap, see fe.FARROW_DEGREE); the gather path reproduces the reference's
 1024-phase table LERP.  They agree to the lerp's own interpolation error
 (~1e-6 relative) everywhere except the reference's phase-1023 clamp bin
 (src/resampler_fir.rs quirk: p2 = min(p1+1, 1023) holds the last 1/1024
@@ -205,3 +205,16 @@ def test_farrow_random_ratio_properties(seed):
             assert abs(total_out - expect) <= cfg.taps * M / L + 2, (
                 in_hz, out_hz, total_out, expect
             )
+
+
+def test_heavy_downsample_falls_back_to_gather():
+    """Coprime ratios with large L/M would inflate the farrow blocked
+    contraction (w_max ~ Q*L/M); auto must fall back to the gather path
+    beyond FARROW_MAX_WIDTH."""
+    L, M = reduce_ratio(367500, 1601)  # L/M ~ 230, coprime
+    cfg = fe.FirConfig(channels=1, taps=32, ratio_num=L, ratio_den=M)
+    assert fe.resolve_convolve_path(cfg) == "gather"
+    # and a moderate coprime downsample stays farrow
+    L2, M2 = reduce_ratio(88200, 44101)
+    cfg2 = fe.FirConfig(channels=1, taps=32, ratio_num=L2, ratio_den=M2)
+    assert fe.resolve_convolve_path(cfg2) == "farrow"

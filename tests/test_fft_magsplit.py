@@ -185,3 +185,41 @@ def test_magsplit_matrix_all_eligible_sizes():
                 np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-4,
                 err_msg=f"pair {n_in}->{n_out}",
             )
+
+
+def test_state_schema_conversion_across_backends():
+    """A carry checkpointed under the magsplit/{'prev'} schema restores
+    into a matmul/{'overlap'} resampler exactly (prev -> overlap is the
+    B-part projection); the non-invertible direction raises clearly."""
+    from resampler_tpu.engine.fft import convert_fft_state
+    from resampler_tpu.types import SampleRate
+
+    ra = fft_engine.ResamplerFft(
+        2, SampleRate.Hz22050, SampleRate.Hz48000, backend="magsplit"
+    )
+    rng = np.random.default_rng(6)
+    x1 = rng.standard_normal(ra.chunk_size_input()).astype(np.float32)
+    x2 = rng.standard_normal(ra.chunk_size_input()).astype(np.float32)
+    out = np.zeros(ra.chunk_size_output(), np.float32)
+    ra.resample(x1, out)
+    saved = {k: np.asarray(v).copy() for k, v in ra.state.items()}
+    assert "prev" in saved
+    ra.resample(x2, out)
+    ref = out.copy()
+
+    rb = fft_engine.ResamplerFft(
+        2, SampleRate.Hz22050, SampleRate.Hz48000, backend="matmul"
+    )
+    rb.state = saved  # schema conversion in the setter
+    assert "overlap" in rb.state
+    out2 = np.zeros(rb.chunk_size_output(), np.float32)
+    rb.resample(x2, out2)
+    np.testing.assert_allclose(ref, out2, atol=5e-4)
+
+    # reverse direction is not invertible -> informative error
+    with pytest.raises(ValueError, match="not\ninvertible|not invertible"):
+        convert_fft_state(
+            {"overlap": np.zeros((2, 1280), np.float32)},
+            ra._config,
+            "magsplit",
+        )

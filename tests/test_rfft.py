@@ -110,7 +110,7 @@ def test_engine_rfft_backend_matches_matmul():
     )
     sa = fft_engine.make_fft_step(cfg, backend="matmul")
     sb = fft_engine.make_fft_step(cfg, backend="rfft")
-    stm = fft_engine.fft_init(cfg)
+    stm = fft_engine.fft_init(cfg, "matmul")
     str_ = fft_engine.fft_init(cfg, "rfft")
     rng = np.random.default_rng(3)
     import jax.numpy as jnp
