@@ -13,14 +13,18 @@ Re-design of the reference streaming polyphase resampler
    computation over ``i = 0..out_cap`` — fully parallel on the VPU, and
    *exact* (no f64 drift over arbitrarily long streams).
 
-2. **Gather + blended-row contraction.**  Per output sample the reference
-   gathers two phase rows from the 1024-phase coefficient table and runs a
-   dual-accumulator SIMD dot (reference: src/fir/avx.rs:14-61).  Here the
-   two rows are lerped into a single blended row ``W[i, taps]`` (identical
-   arithmetic: the lerp commutes with the dot product), and the output is
-   the contraction ``out[c, i] = sum_t buffer[c, off_i + t] * W[i, t]``,
-   which XLA maps onto the MXU/VPU.  A fused Pallas kernel for this
-   contraction lives in resampler_tpu/ops/fir_kernel.py.
+2. **The coefficient table becomes structure, not lookups.**  Per output
+   sample the reference gathers two phase rows from the 1024-phase table
+   and runs a dual-accumulator SIMD dot (reference: src/fir/avx.rs:14-61).
+   Here the table is consumed at build time instead: for on-chip periods
+   the blended rows band into a static kernel atlas and the chunk is one
+   strided MXU matmul (``_convolve_periodic``); for arbitrary coprime
+   ratios the table is refit as per-tap Chebyshev polynomials and the
+   chunk becomes a basis-response convolution plus blocked contractions
+   (``_convolve_farrow``) — no runtime gathers on either production path.
+   A table-lerp-exact general path (``_convolve_gather``) and a fused
+   Pallas step kernel (resampler_tpu/ops/fir_kernel.py) are kept for
+   reference semantics.
 
 3. **Static shapes under jit.**  ``(consumed, produced)`` vary per call, so
    outputs use a fixed capacity (``buffer_size_output``) plus a valid count,
