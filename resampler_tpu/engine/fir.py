@@ -1233,6 +1233,40 @@ class ResamplerFir:
         """Clear all stream state (reference: src/resampler_fir.rs:638-642)."""
         self._state = fir_init(self._config)
 
+    def slew(self, samples: float) -> float:
+        """Shift the stream's sampling phase by ``samples`` input samples
+        (fractional OK) — the clock-drift-compensation primitive.
+
+        The exact rational position makes this a pure state adjustment:
+        ``pos_num += round(samples * M)`` with 1/M-input-sample
+        resolution (``M = ratio_den``; a unity 48k->48k stream can only
+        slew whole samples — construct near-unity pairs via
+        ``new_from_hz`` for a fine phase grid) and no recompilation, so a
+        serving loop can slew a few ppm per chunk to track a remote
+        clock.  Positive slew skips ahead (drops signal time); negative
+        slew re-reads buffered history and is clamped so the position
+        never precedes the oldest buffered frame.  Returns the slew
+        actually applied, in input samples.
+
+        The reference has no equivalent (its f64 ``position`` could be
+        nudged, but is not exposed; reference:
+        src/resampler_fir.rs:189-196) — this is a capability the exact
+        integer schedule adds for free.
+        """
+        M = self._config.ratio_den
+        delta = int(round(float(samples) * M))
+        pos = int(self._state["pos_num"])
+        # clamp: never before the oldest buffered frame, and keep the
+        # numerator inside the int32 overflow envelope of _compute_n_out
+        # (pos_num + i*L < (capacity+1)*M)
+        ceiling = self._config.input_capacity * M
+        applied = min(max(delta, -pos), ceiling - pos)
+        if applied:
+            self._state = dict(
+                self._state, pos_num=jnp.int32(pos + applied)
+            )
+        return applied / M
+
     @property
     def state(self) -> FirState:
         """Explicit stream-state pytree (checkpointable)."""

@@ -392,3 +392,63 @@ def test_sync_tm_conv_fallback_ratio():
         sb, ob, cb, pb = tm(sb, ch_tm, nv)
         assert int(ca) == int(cb) and int(pa) == int(pb)
         np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=2e-6)
+
+
+def test_slew_drift_compensation():
+    """slew() shifts the sampling phase with 1/M-sample resolution: a
+    steady per-chunk slew changes the effective resampling ratio (the
+    drift-compensation primitive), and slew(0.5) delays a tone by half
+    an input sample."""
+    import numpy as np
+
+    fs_in, fs_out = 48000, 48000  # unity nominal ratio, pure drift
+    rng = np.random.default_rng(0)
+
+    # steady drift: skip `d` samples of input per chunk of n frames
+    # -> output length shrinks by ~d per chunk
+    r = ResamplerFir(1, fs_in, fs_out, Latency.Sample16, Attenuation.Db90)
+    n, d, chunks = 2048, 2.0, 8
+    out = np.zeros(r.buffer_size_output(), np.float32)
+    total_out = 0
+    total_in = 0
+    for _ in range(chunks):
+        x = rng.standard_normal(n).astype(np.float32)
+        off = 0
+        while off < n:
+            c, p = r.resample(x[off:], out)
+            if c == 0 and p == 0:
+                break
+            off += c
+            total_out += p
+        total_in += n
+        applied = r.slew(d)
+        assert applied == d
+    # drift of d per n input frames -> out/in ratio ~= 1 - d/n
+    expected = total_in * (1 - d / n)
+    assert abs(total_out - expected) < r.taps + 4, (total_out, expected)
+
+    # fractional slew needs a fine phase grid (resolution is 1/M input
+    # samples): use 44.1->48 kHz (M = 160).  slew(+0.5) samples the input
+    # 0.5 samples later, so it must equal resampling an analytically
+    # advanced tone (agreement bounded by the Db90 filter accuracy).
+    f0 = 997.0
+    k = np.arange(3 * 4096)
+    fsa = 44100
+    tone = np.sin(2 * np.pi * f0 * k / fsa).astype(np.float32)
+    tone_adv = np.sin(2 * np.pi * f0 * (k + 0.5) / fsa).astype(np.float32)
+    ra = ResamplerFir(1, 44100, 48000, Latency.Sample64, Attenuation.Db90)
+    rb = ResamplerFir(1, 44100, 48000, Latency.Sample64, Attenuation.Db90)
+    applied = rb.slew(0.5)
+    assert applied == 0.5
+    ya = ra.process(tone_adv)
+    yb = rb.process(tone)
+    m = min(len(ya), len(yb)) - 400
+    np.testing.assert_allclose(yb[400:m], ya[400:m], atol=2e-3)
+    # and they genuinely differ from the unslewed output
+    rc = ResamplerFir(1, 44100, 48000, Latency.Sample64, Attenuation.Db90)
+    yc = rc.process(tone)
+    assert np.abs(yb[400:m] - yc[400:m]).max() > 1e-2
+
+    # negative slew clamps at the oldest buffered frame
+    rc = ResamplerFir(1, fs_in, fs_out)
+    assert rc.slew(-5.0) == 0.0  # pos_num is 0 at start
