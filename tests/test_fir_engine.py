@@ -452,3 +452,34 @@ def test_slew_drift_compensation():
     # negative slew clamps at the oldest buffered frame
     rc = ResamplerFir(1, fs_in, fs_out)
     assert rc.slew(-5.0) == 0.0  # pos_num is 0 at start
+
+
+def test_slew_tracks_clock_drift_end_to_end():
+    """Serving scenario: a source ADC clock 100 ppm fast makes a true
+    1000 Hz tone appear at 1000/(1+1e-4) Hz; slewing +100 ppm of samples
+    per chunk restores exact pitch (measured to 0.02 Hz), while the
+    uncompensated stream stays ~0.11 Hz low."""
+    import numpy as np
+
+    fs, drift = 44100, 100e-6
+    k = np.arange(10 * 2048)
+    x = np.sin(2 * np.pi * 1000.0 * k / (fs * (1 + drift))).astype(np.float32)
+
+    def tone_hz(y):
+        seg = y[2000:-2000]
+        zc = np.where((seg[:-1] < 0) & (seg[1:] >= 0))[0]
+        return (len(zc) - 1) / ((zc[-1] - zc[0]) / 48000)
+
+    r = ResamplerFir(1, 44100, 48000, Latency.Sample64, Attenuation.Db90)
+    out = np.zeros(r.buffer_size_output(), np.float32)
+    ys, off = [], 0
+    while off < len(x):
+        end = min(off + 2048, len(x))
+        c, p = r.resample(x[off:end], out)
+        ys.append(out[:p].copy())
+        off += c
+        r.slew(2048 * drift)
+    assert abs(tone_hz(np.concatenate(ys)) - 1000.0) < 0.02
+
+    r2 = ResamplerFir(1, 44100, 48000, Latency.Sample64, Attenuation.Db90)
+    assert abs(tone_hz(r2.process(x)) - 1000.0 / (1 + drift)) < 0.02
