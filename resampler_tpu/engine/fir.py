@@ -282,12 +282,14 @@ def _convolve_gather(config: FirConfig, coeffs):
     Measured on v5e-1 (44100->44101, taps=128, B=64; bench.py
     fir_gather): 37 Msamples/s vs 0.9 for the naive elementwise gather —
     41x.  Still ~0.27x the reference CPU for coprime ratios: the residual
-    cost is TPU gather bandwidth (~100 GB/s, 1/8 of HBM peak) on the
-    window/table row fetches, which no further reshaping removed
-    (variants measured and rejected: paired-row takes, channel-packed
-    rows, one-hot matmuls, per-stream dynamic slices).  Rates with a
-    reduced denominator <= 2048 — every standard audio pair — use the
-    periodic path at 59x the reference instead.
+    cost is window-copy bytes on the im2col takes, which no further
+    reshaping removed (variants measured and rejected: paired-row takes,
+    channel-packed rows, one-hot matmuls, per-stream dynamic slices,
+    static-slice decompositions of the takes).  This path exists for
+    table-lerp-exact reference semantics; the Farrow path
+    (``_convolve_farrow``) is the arbitrary-ratio production path
+    (1.13x reference), and rates with a reduced denominator <= 2048 —
+    every standard audio pair — use the periodic path at ~85x.
     """
     L_ = config.ratio_num
     M_ = config.ratio_den
@@ -415,7 +417,7 @@ def farrow_matrix(coeffs, degree: int = FARROW_DEGREE):
 
 def _convolve_farrow(config: FirConfig, coeffs):
     """General-rate path — FARROW STRUCTURE (the production arbitrary-
-    ratio path; measured 131 vs the gather path's 37 Msamples/s at
+    ratio path; measured 140-155 vs the gather path's 37 Msamples/s at
     44100->44101, B=64 — reference-CPU parity for coprime ratios).
 
     The gather path's wall is window-copy bytes: it materializes
