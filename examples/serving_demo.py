@@ -57,7 +57,7 @@ def tier1_streaming_fleet():
 
 
 def tier2_time_major_sync():
-    print("== tier 2: time-major sync fleet (the 83x path) ==")
+    print("== tier 2: time-major sync fleet (the ~85x path) ==")
     B, C, CHUNK = 16, 2, 1024
     L, M = reduce_ratio(44100, 48000)
     cfg = fir_engine.FirConfig(
