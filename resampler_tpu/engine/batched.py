@@ -107,7 +107,9 @@ class BatchedResamplerFir:
 
     @state.setter
     def state(self, value):
-        self._state = value
+        self._state = (
+            shard_batch(value, self._mesh) if self._mesh is not None else value
+        )
 
     def buffer_size_output(self) -> int:
         return self._config.out_capacity * self._config.channels
@@ -175,6 +177,7 @@ class BatchedResamplerFft:
         )
         self.n_streams = n_streams
         self._mesh = mesh
+        self._backend = backend
         # The fleet step folds streams x channels into the row dimension of
         # ONE device op (a single projector matmul / magsplit kernel call)
         # instead of vmapping n_streams per-stream ops.  Under a mesh the
@@ -197,7 +200,16 @@ class BatchedResamplerFft:
 
     @state.setter
     def state(self, value):
-        self._state = value
+        # backend="auto" resolves per platform (magsplit {'prev'} on TPU,
+        # matmul {'overlap'} elsewhere), so a fleet checkpoint restored
+        # cross-platform must be converted like ResamplerFft does —
+        # convert_fft_state broadcasts over the leading [B] dims.
+        value = fft_engine.convert_fft_state(
+            value, self._config, self._backend
+        )
+        self._state = (
+            shard_batch(value, self._mesh) if self._mesh is not None else value
+        )
 
     def chunk_size_input(self) -> int:
         return self._config.fft_size_input * self._config.channels

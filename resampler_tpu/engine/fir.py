@@ -467,7 +467,12 @@ def _convolve_farrow(config: FirConfig, coeffs):
     block_base = j_pad.reshape(K, q)[:, 0]               # [K] static
     j_loc = j_pad.reshape(K, q) - block_base[:, None]    # [K, q] static
     w_max = int(j_loc.max()) + 2                         # +1 wrap, +1 j+1
-    y_pad_len = int(block_base.max()) + w_max
+    # The last block's local span can reach past p_len-1 (its lanes are
+    # padded repeats of the final output), and conversely block_base.max()
+    # + w_max can fall SHORT of p_len when the widest local span occurs in
+    # the last block — a negative pad width crashes at trace time
+    # (observed for 48000->44101 and ~13% of coprime pairs at taps=128).
+    y_pad_len = max(int(block_base.max()) + w_max, p_len)
 
     A, _ = farrow_matrix(coeffs, degree)
     filt = jnp.asarray(A[:, None, :])  # [d1, 1, taps] (OIH)

@@ -47,9 +47,17 @@ def split_hi_lo(a):
     simplification pass touches: round-to-nearest-even to the upper 16
     bits, as bf16 conversion does.
     """
-    u = jax.lax.bitcast_convert_type(a.astype(jnp.float32), jnp.uint32)
+    a = a.astype(jnp.float32)
+    u = jax.lax.bitcast_convert_type(a, jnp.uint32)
     u_r = (u + 0x7FFF + ((u >> 16) & 1)) & jnp.uint32(0xFFFF0000)
     hi_f = jax.lax.bitcast_convert_type(u_r, jnp.float32)
+    # The rounding add carries into the exponent for non-finite values
+    # (NaNs with low-mantissa payloads would collapse to Inf) and rounds
+    # near-max-magnitude finites to Inf; pass non-finites through
+    # unchanged so glitched input propagates as visibly non-finite output,
+    # like the plain f32 paths do.  (One VPU compare+select per element —
+    # not measurable against the surrounding MXU passes.)
+    hi_f = jnp.where(jnp.isfinite(a), hi_f, a)
     return hi_f.astype(jnp.bfloat16), (a - hi_f).astype(jnp.bfloat16)
 
 

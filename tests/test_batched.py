@@ -99,6 +99,37 @@ def test_batched_fft_sharded_over_mesh():
     )
 
 
+def test_batched_fft_state_setter_converts_backends():
+    """A fleet checkpoint saved under the conv/magsplit {'prev'} carry
+    schema restores into a matmul-backend fleet: the setter must apply
+    convert_fft_state (broadcasting over the [B] leading dims) exactly
+    like the single-stream ResamplerFft does — a raw assignment would
+    KeyError inside the jitted fleet step."""
+    B, C = 2, 2
+    rng = np.random.default_rng(9)
+    a = BatchedResamplerFft(
+        B, C, SampleRate.Hz22050, SampleRate.Hz48000, backend="conv"
+    )
+    b = BatchedResamplerFft(
+        B, C, SampleRate.Hz22050, SampleRate.Hz48000, backend="matmul"
+    )
+    n_in = a.config.fft_size_input
+    chunks = rng.standard_normal((B, C, n_in)).astype(np.float32)
+    out_a = np.asarray(a.resample(chunks))
+
+    # restore the conv-schema checkpoint into the matmul fleet mid-stream
+    b.state = jax.tree.map(np.asarray, a.state)
+    chunks2 = rng.standard_normal((B, C, n_in)).astype(np.float32)
+    out_a2 = np.asarray(a.resample(chunks2))
+    out_b2 = np.asarray(b.resample(chunks2))
+    np.testing.assert_allclose(out_a2, out_b2, atol=1e-4)
+    del out_a
+
+    # the reverse direction is not invertible and must raise clearly
+    with pytest.raises(ValueError, match="not\\s+invertible|overlap"):
+        a.state = b.state
+
+
 def test_graft_entry_points():
     """The driver-facing entry points compile and run on this mesh."""
     import importlib.util

@@ -207,6 +207,41 @@ def test_farrow_random_ratio_properties(seed):
             )
 
 
+@pytest.mark.parametrize(
+    "in_hz,out_hz",
+    [(48000, 44101), (44100, 96001), (96001, 44100)],
+)
+def test_farrow_taps128_geometry(in_hz, out_hz):
+    """Regression: at the default taps=128 geometry, block_base.max() +
+    w_max could fall SHORT of p_len (the widest local span landing in the
+    last block), producing a negative jnp.pad width that crashed the
+    first step of many auto-selected ratios (48000->44101 and ~13% of
+    swept coprime pairs).  The taps=32 fuzz above never hits this; these
+    pairs do.  Gates both trace-time success and the gather differential."""
+    cfg, coeffs = _build(in_hz, out_hz, taps=128)
+    assert fe.resolve_convolve_path(cfg) == "farrow"
+    step_f = jax.jit(fe.make_fir_step(cfg, coeffs, path="farrow"))
+    step_g = jax.jit(fe.make_fir_step(cfg, coeffs, path="gather"))
+    sf, sg = fe.fir_init(cfg), fe.fir_init(cfg)
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        chunk = jnp.asarray(rng.standard_normal((1024, 2)), jnp.float32)
+        sf, outf, cf, pf = step_f(
+            sf, chunk, jnp.int32(1024), jnp.int32(cfg.out_capacity)
+        )
+        sg, outg, cg, pg = step_g(
+            sg, chunk, jnp.int32(1024), jnp.int32(cfg.out_capacity)
+        )
+        assert int(cf) == int(cg) and int(pf) == int(pg)
+        p = int(pf)
+        if p:
+            of = np.asarray(outf)[:p]
+            assert np.isfinite(of).all()
+            d = np.abs(of - np.asarray(outg)[:p])
+            assert np.median(d) < 5e-5, np.median(d)
+            assert d.max() < 5e-2, d.max()
+
+
 def test_heavy_downsample_falls_back_to_gather():
     """Coprime ratios with large L/M would inflate the farrow blocked
     contraction (w_max ~ Q*L/M); auto must fall back to the gather path

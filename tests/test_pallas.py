@@ -98,6 +98,33 @@ def test_split_hi_lo_survives_jit():
     )
 
 
+def test_split_hi_lo_nonfinite_passthrough():
+    """The bit-level rounding add must not carry non-finite values into
+    different non-finite values (a NaN with a low-mantissa payload would
+    collapse to Inf): hi passes non-finites through like bf16 conversion,
+    and near-max finites still round to Inf exactly as bf16 RNE does."""
+    from resampler_tpu.ops.matmul3 import split_hi_lo
+
+    a = jnp.asarray(
+        [np.inf, -np.inf, np.nan, 3.402e38, -3.402e38, 1.5, 0.0], jnp.float32
+    )
+    # splice in a NaN whose payload lives only in the low mantissa bits —
+    # the case the rounding add turned into Inf
+    payload_nan = jax.lax.bitcast_convert_type(
+        jnp.uint32(0x7F800001), jnp.float32
+    )
+    a = jnp.concatenate([a, payload_nan[None]])
+    hi, lo = jax.jit(split_hi_lo)(a)
+    hi = np.asarray(hi, np.float32)
+    assert np.isinf(hi[0]) and hi[0] > 0
+    assert np.isinf(hi[1]) and hi[1] < 0
+    assert np.isnan(hi[2])
+    assert np.isnan(hi[7]), "low-payload NaN must stay NaN, not become Inf"
+    # near-max finites round to Inf under bf16 RNE (matches f32->bf16)
+    assert hi[3] == np.float32(np.asarray(a[3]).astype(jnp.bfloat16))
+    assert hi[5] == np.float32(1.5) and hi[6] == 0.0
+
+
 def test_matmul3_matches_precision_high(pallas_interpret_only=True):
     """matmul3 (interpret mode) reaches f32-class accuracy vs an f64
     reference — i.e. its three bf16 passes are all really happening."""
