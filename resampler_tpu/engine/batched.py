@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.sharding import shard_batch, stream_mesh
+from ..parallel.sharding import shard_batch, shard_lanes, stream_mesh
 from ..types import Attenuation, Latency, reduce_ratio
 from . import fft as fft_engine
 from . import fir as fir_engine
@@ -51,6 +51,9 @@ class BatchedResamplerFir:
         mesh=None,
         path: str = "auto",
         synchronized: bool = False,
+        sync_variant: str = "tm",
+        max_chunk: int = 2048,
+        horizon: int = 16,
     ) -> None:
         L, M = reduce_ratio(int(input_rate), int(output_rate))
         self._config = fir_engine.FirConfig(
@@ -58,16 +61,47 @@ class BatchedResamplerFir:
         )
         self.n_streams = n_streams
         self.synchronized = synchronized
+        self.max_chunk = max_chunk
         cutoff = fir_engine.fir_cutoff(
             latency.taps, attenuation, int(input_rate) / int(output_rate)
         )
         coeffs = fir_engine.fir_coefficients(latency.taps, attenuation, cutoff)
         self._mesh = mesh
+        # The tm fleet keeps streams on the LANE axis of its ring buffer;
+        # everything else batches on the leading axis.
+        self._tm = synchronized and sync_variant == "tm"
+        self._place = shard_lanes if self._tm else shard_batch
 
-        if synchronized:
-            # Phase-locked fleet: every stream consumes the same schedule,
-            # so the whole step folds into one fleet-wide MXU matmul —
-            # the fastest serving path (requires a shared n_valid scalar).
+        if synchronized and sync_variant == "tm":
+            # Phase-locked fleet on the TIME-MAJOR ring step — the
+            # headline serving path (one in-place KV-cache append + one
+            # fat fleet-wide MXU matmul per step; ~85x reference on v5e-1,
+            # see bench.py).  Chunks arrive batch-major [B, n, C] and are
+            # relaid to the [n, B*C] time-major feed inside the jitted
+            # step (lane index b*C + c, so a stream-sharded batch axis
+            # maps to contiguous lane blocks — no cross-device traffic).
+            tm_step = fir_engine.make_fir_fleet_step_sync_tm(
+                self._config, coeffs, n_streams,
+                max_chunk=max_chunk, horizon=horizon,
+            )
+            B, C = n_streams, channels
+
+            def batched_step(state, chunks, n_valid):
+                n = chunks.shape[1]
+                tm = jnp.transpose(chunks, (1, 0, 2)).reshape(n, B * C)
+                new_state, out, consumed, produced = tm_step(
+                    state, tm, n_valid
+                )
+                peak = jnp.max(jnp.abs(out))
+                return new_state, out, consumed, produced, peak
+
+            self._step = jax.jit(batched_step, donate_argnums=0)
+            state = fir_engine.fir_fleet_init_sync_tm(
+                self._config, n_streams, max_chunk=max_chunk, horizon=horizon
+            )
+        elif synchronized:
+            # End-aligned slide variant (kept selectable; the tm ring step
+            # above measures ~1.4x faster at the bench config).
             sync_step = fir_engine.make_fir_fleet_step_sync(
                 self._config, coeffs, n_streams
             )
@@ -95,7 +129,7 @@ class BatchedResamplerFir:
             state = jax.vmap(lambda _: fir_engine.fir_init(self._config))(
                 jnp.arange(n_streams)
             )
-        self._state = shard_batch(state, mesh) if mesh is not None else state
+        self._state = self._place(state, mesh) if mesh is not None else state
 
     @property
     def config(self):
@@ -108,7 +142,9 @@ class BatchedResamplerFir:
     @state.setter
     def state(self, value):
         self._state = (
-            shard_batch(value, self._mesh) if self._mesh is not None else value
+            self._place(value, self._mesh)
+            if self._mesh is not None
+            else value
         )
 
     def buffer_size_output(self) -> int:
@@ -130,6 +166,11 @@ class BatchedResamplerFir:
         if self._mesh is not None:
             chunks = shard_batch(chunks, self._mesh)
         if self.synchronized:
+            if self._tm and n > self.max_chunk:
+                raise ValueError(
+                    f"chunk of {n} frames exceeds max_chunk={self.max_chunk} "
+                    "(set max_chunk at construction for larger feeds)"
+                )
             nv = n if n_valid is None else int(np.min(n_valid))
             self._state, out, consumed, produced, peak = self._step(
                 self._state, chunks, np.int32(nv)

@@ -18,6 +18,7 @@ __all__ = [
     "stream_mesh",
     "stream_sharding",
     "shard_batch",
+    "shard_lanes",
     "replicate",
 ]
 
@@ -60,6 +61,36 @@ def shard_batch(tree, mesh: Mesh):
         if ndim == 0 or (len(shape) > 0 and shape[0] % n != 0):
             return jax.device_put(x, replicated)
         return jax.device_put(x, sharded)
+
+    return jax.tree.map(place, tree)
+
+
+def shard_lanes(tree, mesh: Mesh):
+    """Place every array in ``tree`` with its LAST axis sharded over the
+    stream axis of ``mesh``.
+
+    The time-major synchronized fleet keeps its ring buffer ``[ring,
+    B*C]`` with streams on the minor (lane) axis — sharding the leading
+    axis there would split the ring's TIME dimension across chips.  Lane
+    index is ``b*C + c``, so a stream-axis shard of the lane dimension
+    keeps whole streams per device (``B`` divisible by the mesh keeps
+    ``B*C`` divisible).  Rank-aware like ``shard_batch``: scalars and
+    non-dividing leaves are replicated."""
+    sharded_last = {
+        nd: NamedSharding(mesh, P(*([None] * (nd - 1) + [STREAM_AXIS])))
+        for nd in (1, 2, 3, 4)
+    }
+    replicated = NamedSharding(mesh, P())
+    n = mesh.size
+
+    def place(x):
+        ndim = getattr(x, "ndim", None)
+        if ndim is None:
+            ndim = np.ndim(x)
+        shape = getattr(x, "shape", ())
+        if ndim == 0 or ndim > 4 or shape[-1] % n != 0:
+            return jax.device_put(x, replicated)
+        return jax.device_put(x, sharded_last[ndim])
 
     return jax.tree.map(place, tree)
 

@@ -174,10 +174,34 @@ def test_batched_fir_sync_sharded_over_mesh():
             np.asarray(out_a), np.asarray(out_b), atol=1e-5
         )
 
-    # the stream buffer really is distributed; the schedule scalars are
-    # replicated (they are shared across the fleet by construction)
-    assert len(sharded.state["buffer"].sharding.device_set) == 8
+    # the tm ring buffer [ring, B*C] is distributed across its LANE axis
+    # (streams), not its time axis; the shared schedule scalars replicate
+    buf = sharded.state["buffer"]
+    assert len(buf.sharding.device_set) == 8
+    spec = buf.sharding.spec
+    assert spec[-1] == "stream" and spec[0] is None, spec
     assert sharded.state["pos_num"].sharding.is_fully_replicated
+
+
+def test_sync_slide_variant_still_selectable():
+    """sync_variant="slide" keeps the end-aligned sync step available and
+    equal to the tm default."""
+    B, C = 4, 2
+    rng = np.random.default_rng(8)
+    tm = BatchedResamplerFir(B, C, 44100, 48000, Latency.Sample32,
+                             Attenuation.Db90, synchronized=True)
+    slide = BatchedResamplerFir(B, C, 44100, 48000, Latency.Sample32,
+                                Attenuation.Db90, synchronized=True,
+                                sync_variant="slide")
+    for _ in range(3):
+        chunks = rng.standard_normal((B, 320, C)).astype(np.float32)
+        out_a, cons_a, prod_a, _ = tm.resample(chunks)
+        out_b, cons_b, prod_b, _ = slide.resample(chunks)
+        np.testing.assert_array_equal(np.asarray(cons_a), np.asarray(cons_b))
+        np.testing.assert_array_equal(np.asarray(prod_a), np.asarray(prod_b))
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), atol=2e-6
+        )
 
 
 def test_synchronized_fleet_matches_vmapped():
