@@ -29,13 +29,14 @@ SCAN_LEN = 40  # chunks per dispatch
 
 def bench_fir(
     dispatches=5, warmup=2, n_streams=1024, chunk_frames=4096,
-    synchronized=True,
+    synchronized=True, in_hz=44100, out_hz=48000,
 ):
     """Batched FIR throughput.  ``synchronized=True`` benches the
     phase-locked fleet — the TIME-MAJOR ring step (one in-place KV-cache
     append + one fat fleet-wide matmul per step, the fastest measured
-    serving path); ``False`` benches the general vmapped fleet with
-    independent per-stream state."""
+    serving path; for coprime pairs beyond the periodic envelope it runs
+    the Farrow positioning-matmul contraction); ``False`` benches the
+    general vmapped fleet with independent per-stream state."""
     import jax
     import jax.numpy as jnp
 
@@ -43,12 +44,12 @@ def bench_fir(
     from resampler_tpu.types import Attenuation, Latency, reduce_ratio
 
     C = 2
-    L, M = reduce_ratio(44100, 48000)
+    L, M = reduce_ratio(in_hz, out_hz)
     cfg = fir_engine.FirConfig(
         channels=C, taps=Latency.Sample64.taps, ratio_num=L, ratio_den=M
     )
     cutoff = fir_engine.fir_cutoff(
-        Latency.Sample64.taps, Attenuation.Db90, 44100 / 48000
+        Latency.Sample64.taps, Attenuation.Db90, in_hz / out_hz
     )
     coeffs = fir_engine.fir_coefficients(
         Latency.Sample64.taps, Attenuation.Db90, cutoff
@@ -299,6 +300,57 @@ def farrow_device_attestation():
     return float(np.abs(dev[:n_valid] - ref[:n_valid]).max())
 
 
+def farrow_sync_device_attestation():
+    """Device-vs-CPU check for the BENCHED synchronized Farrow tm fleet
+    (a different formulation from the per-stream farrow convolve: shared
+    positioning matmul + blocked contraction — both einsums must stay at
+    HIGHEST on device).  Returns max |device - cpu| over produced lanes
+    of two steps at the bench pair."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fir_engine
+    from resampler_tpu.types import Attenuation, Latency, reduce_ratio
+
+    L, M = reduce_ratio(44100, 44101)
+    B, C = 2, 2
+    cfg = fir_engine.FirConfig(
+        channels=C, taps=Latency.Sample64.taps, ratio_num=L, ratio_den=M
+    )
+    cutoff = fir_engine.fir_cutoff(
+        Latency.Sample64.taps, Attenuation.Db90, 44100 / 44101
+    )
+    coeffs = fir_engine.fir_coefficients(
+        Latency.Sample64.taps, Attenuation.Db90, cutoff
+    )
+    step = fir_engine.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=2048, horizon=2
+    )
+    rng = np.random.default_rng(3)
+    feeds = [
+        jnp.asarray(rng.standard_normal((2048, B * C)), jnp.float32)
+        for _ in range(2)
+    ]
+
+    def run():
+        st = fir_engine.fir_fleet_init_sync_tm(
+            cfg, B, max_chunk=2048, horizon=2
+        )
+        stepped = jax.jit(step)
+        outs = []
+        for f in feeds:
+            st, out, _, p = stepped(st, f, jnp.int32(2048))
+            outs.append(np.asarray(out)[:, : int(p)])
+        return outs
+
+    dev = run()
+    with jax.default_device(jax.devices("cpu")[0]):
+        ref = run()
+    return max(
+        float(np.abs(d - r).max()) for d, r in zip(dev, ref)
+    )
+
+
 def quality_attestation():
     """Measure signal quality ON THE BENCH DEVICE so throughput numbers
     can never silently trade away precision (e.g. a bf16 matmul default
@@ -341,10 +393,19 @@ def quality_attestation():
 def main():
     fir_msps = bench_fir()
     fft_msps = bench_fft()
+    # Arbitrary-ratio production serving path: the synchronized tm fleet's
+    # Farrow contraction (shared positioning matmul across the fleet).
+    fir_arb_sync_msps = bench_fir(in_hz=44100, out_hz=44101)
+    # Heavy coprime downsample (L/M ~ 230): stays on the farrow structure
+    # (adaptive block size) instead of the old gather fallback.  Output
+    # samples are intrinsically scarce at this ratio, so the input-side
+    # rate is recorded alongside.
+    fir_heavy_msps = bench_fir(in_hz=367500, out_hz=1601)
     fir_arb_msps = bench_fir_arbitrary("farrow")
     fir_gather_msps = bench_fir_arbitrary("gather", n_streams=64)
     fir_alias_db, fft_stopband_db = quality_attestation()
     farrow_dev_err = farrow_device_attestation()
+    farrow_sync_dev_err = farrow_sync_device_attestation()
     fft_pair_floor_db = fft_bench_pair_attestation()
     result = {
         "metric": "Msamples/sec/chip stereo 44.1->48k FIR (Sample64, Db90, batched streams)",
@@ -356,6 +417,10 @@ def main():
             "fir_vs_reference": round(fir_msps / FIR_BASELINE_MSPS, 2),
             "fft_msamples_per_s": round(fft_msps, 1),
             "fft_vs_reference": round(fft_msps / FFT_BASELINE_MSPS, 2),
+            "fir_arbitrary_sync_msamples_per_s": round(fir_arb_sync_msps, 1),
+            "fir_arbitrary_sync_vs_reference": round(
+                fir_arb_sync_msps / FIR_BASELINE_MSPS, 2
+            ),
             "fir_arbitrary_msamples_per_s": round(fir_arb_msps, 1),
             "fir_arbitrary_vs_reference": round(
                 fir_arb_msps / FIR_BASELINE_MSPS, 2
@@ -364,14 +429,20 @@ def main():
             "fir_gather_vs_reference": round(
                 fir_gather_msps / FIR_BASELINE_MSPS, 2
             ),
+            "fir_heavy_downsample_msamples_per_s": round(fir_heavy_msps, 1),
+            "fir_heavy_downsample_input_msamples_per_s": round(
+                fir_heavy_msps * 367500 / 1601, 1
+            ),
             "fir_alias_rejection_db": round(fir_alias_db, 1),
             "fft_stopband_db": round(fft_stopband_db, 1),
             "farrow_device_err": float(f"{farrow_dev_err:.2e}"),
+            "farrow_sync_device_err": float(f"{farrow_sync_dev_err:.2e}"),
             "fft_bench_pair_floor_db": round(fft_pair_floor_db, 1),
             "quality_ok": bool(
                 fir_alias_db >= 100.0
                 and fft_stopband_db >= 99.0
                 and farrow_dev_err < 5e-5
+                and farrow_sync_dev_err < 5e-5
                 and fft_pair_floor_db >= 99.0
             ),
             "reference": "hasenbanck/resampler on AMD Ryzen 9 9950X3D (BASELINE.md)",

@@ -150,6 +150,48 @@ class BatchedResamplerFir:
     def buffer_size_output(self) -> int:
         return self._config.out_capacity * self._config.channels
 
+    def slew(self, samples):
+        """Shift sampling phase by ``samples`` input samples (fractional
+        OK) — clock-drift compensation at the serving tier, where remote
+        producers actually drift.
+
+        In the general (vmapped) fleet each stream has its own exact
+        rational position, so ``samples`` may be a scalar or a
+        per-stream ``[n_streams]`` vector: a serving loop can slew each
+        stream a few ppm per chunk to track ITS producer's clock.  The
+        synchronized fleet shares one schedule, so only a scalar
+        (fleet-wide) slew is meaningful there.  Semantics per stream
+        match ``ResamplerFir.slew``: resolution 1/M input samples,
+        clamped to the buffered history (carry the unapplied residual
+        into the next request to track steady negative drift); returns
+        the applied slew in input samples (scalar or ``[n_streams]``)."""
+        M = self._config.ratio_den
+        pos = np.asarray(self._state["pos_num"], np.int64)
+        if self.synchronized:
+            if np.ndim(samples) != 0:
+                raise ValueError(
+                    "synchronized fleets share one phase; per-stream slew "
+                    "needs the general (vmapped) fleet"
+                )
+        else:
+            samples = np.broadcast_to(
+                np.asarray(samples, np.float64), (self.n_streams,)
+            )
+        delta = np.round(np.asarray(samples, np.float64) * M).astype(np.int64)
+        ceiling = self._config.input_capacity * M
+        applied = np.clip(delta, -pos, ceiling - pos)
+        if np.any(applied):
+            new_pos = jnp.asarray((pos + applied).astype(np.int32))
+            if pos.ndim == 0:
+                new_pos = new_pos.reshape(())
+            state = dict(self._state, pos_num=new_pos)
+            self._state = (
+                self._place(state, self._mesh)
+                if self._mesh is not None
+                else state
+            )
+        return applied / M
+
     def resample(self, chunks: np.ndarray, n_valid=None):
         """Step all streams.
 

@@ -87,7 +87,20 @@ VALID_END = INPUT_CAPACITY
 MIN_READ_SLACK = 128
 #: Reduced output-rate denominator limit keeping every scheduled int32
 #: quantity below 2^31 (see overflow analysis in ``_compute_n_out``).
+#: Beyond it (or the matching numerator bound) the engine switches to the
+#: WIDE schedule: position carried as (frames uint32, subframe-numerator
+#: uint32) with emission masks and static split tables, supporting any
+#: nonzero u32 rate pair like the reference's f64 position does
+#: (reference: src/resampler_fir.rs:311-313; v0.5.1 overflow fix #36) —
+#: but exactly, with no f64 drift.
 MAX_REDUCED_RATE = 500_000
+#: Static output-lane cap: extreme upsampling ratios (reduced M >> L)
+#: would otherwise explode the per-call output buffer (1 Hz -> 96 kHz is
+#: ~392M frames per full input buffer).  The reference bounds per-call
+#: output by the CALLER's buffer (src/resampler_fir.rs:522-556); here the
+#: static out array is capped and the stateful wrapper's budget loop
+#: feeds/produces incrementally, so streams progress regardless.
+OUT_CAP_MAX = 1 << 20
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,13 +117,22 @@ class FirConfig:
     def __post_init__(self) -> None:
         if self.channels < 1:
             raise ValueError("channel count must be at least 1")
-        if self.ratio_den > MAX_REDUCED_RATE or self.ratio_num > (1 << 31) // (
-            self.input_capacity + 2
+        if not (1 <= self.ratio_num < (1 << 32)) or not (
+            1 <= self.ratio_den < (1 << 32)
         ):
             raise ValueError(
-                "reduced sample-rate ratio too large for exact int32 "
-                f"scheduling: {self.ratio_num}/{self.ratio_den}"
+                "sample rates must reduce to nonzero u32 values "
+                f"(reference parity): {self.ratio_num}/{self.ratio_den}"
             )
+
+    @property
+    def wide(self) -> bool:
+        """True when the reduced ratio exceeds the int32 schedule envelope
+        and the engine must carry position as (uint32 frames, uint32
+        subframe numerator) — see ``_wide_schedule``."""
+        return self.ratio_den > MAX_REDUCED_RATE or self.ratio_num > (
+            1 << 31
+        ) // (self.input_capacity + 2)
 
     @property
     def read_slack(self) -> int:
@@ -126,17 +148,22 @@ class FirConfig:
         ``path=``, so take the max."""
         L, taps = self.ratio_num, self.taps
         j_max = ((self.out_capacity - 1) * L) // self.ratio_den
+        if self.wide:
+            # wide schedules clamp their static row offsets at the buffer
+            # edge (lanes beyond can never be emitted) — see _wide_schedule
+            j_max = min(j_max, self.input_capacity + 2)
         gather_need = j_max + 2 + taps + MIN_READ_SLACK
         if resolve_convolve_path(self) != "periodic":
             slack = gather_need
         else:
             span = L + taps + 1
             K = -(-self.out_capacity // self.ratio_den)
-            if _use_im2col(L, taps):
-                n_blk = 1 + -(-(span - L) // L)
-                region_cols = (K + n_blk) * L
-            else:
-                region_cols = (K - 1) * L + span
+            n_blk = 1 + -(-(span - L) // L)
+            # cover BOTH periodic region forms: the frames-minor step
+            # picks im2col vs conv by _use_im2col, but the time-major
+            # fleet step uses im2col unconditionally — its (K + n_blk)*L
+            # read must never clamp-shift near the compaction threshold
+            region_cols = max((K + n_blk) * L, (K - 1) * L + span)
             slack = max(
                 region_cols + L // self.ratio_den + MIN_READ_SLACK,
                 gather_need,
@@ -152,10 +179,15 @@ class FirConfig:
 
     @property
     def out_capacity(self) -> int:
-        """Maximum output frames a single call can produce
-        (reference: src/resampler_fir.rs:455-465)."""
+        """Maximum output frames a single call can produce, capped at
+        ``OUT_CAP_MAX`` static lanes for extreme upsampling ratios (the
+        stateful wrapper's budget loop produces the rest incrementally;
+        reference: src/resampler_fir.rs:455-465)."""
         max_usable = self.input_capacity - self.taps
-        return math.ceil(max_usable * self.ratio_den / self.ratio_num) + 2
+        exact = (max_usable * self.ratio_den) // self.ratio_num + (
+            1 if (max_usable * self.ratio_den) % self.ratio_num else 0
+        ) + 2
+        return min(exact, OUT_CAP_MAX)
 
     @property
     def delay(self) -> int:
@@ -173,6 +205,19 @@ FirState = dict
 
 
 def fir_init(config: FirConfig) -> FirState:
+    if config.wide:
+        # Wide schedule: exact position = (pos_hi + pos_lo/M) input
+        # frames, both uint32 (JAX's x64 mode must not be required of
+        # library users, so 64-bit integers are unavailable on device;
+        # two u32 words cover any u32 rate pair exactly).
+        return FirState(
+            buffer=jnp.zeros(
+                (config.channels, config.buffer_alloc), jnp.float32
+            ),
+            available_frames=jnp.zeros((), jnp.int32),
+            pos_hi=jnp.zeros((), jnp.uint32),
+            pos_lo=jnp.zeros((), jnp.uint32),
+        )
     return FirState(
         buffer=jnp.zeros((config.channels, config.buffer_alloc), jnp.float32),
         available_frames=jnp.zeros((), jnp.int32),
@@ -389,12 +434,28 @@ def _convolve_gather(config: FirConfig, coeffs):
 #: table-lerp's own 1.2e-6) beats degree 9 141.9 vs 135.4 Msps.
 FARROW_DEGREE = 7
 FARROW_BLOCK = 64
-#: Per-block input span cap: each block's contraction does ~w_max*(d+1)
-#: MACs per output with w_max ~= FARROW_BLOCK*L/M, so heavy coprime
-#: DOWNSAMPLING (large L/M) inflates both the blocked intermediates
-#: ([K, C, Q, w_max] at fleet scale) and the per-output work; beyond
-#: this span the gather path is the better general fallback.
-FARROW_MAX_WIDTH = 1024
+#: Upper block-size cap: bounds the [K, q, d1] / blocked-contraction
+#: shapes and keeps the static per-block slice count K small even for
+#: extreme upsampling (where out_capacity reaches OUT_CAP_MAX lanes).
+FARROW_BLOCK_MAX = 4096
+
+
+def farrow_block_size(L: int, M: int, block: int = FARROW_BLOCK) -> int:
+    """Outputs per block, adapted to the ratio so the per-block input span
+    stays ~``FARROW_BLOCK`` frames.
+
+    A block of ``q`` outputs spans ``~q*L/M`` input frames; heavy coprime
+    DOWNSAMPLING (large L/M) with a fixed ``q`` would inflate both the
+    blocked intermediates and the per-output work (the round-2 design
+    fell back to the 0.27x gather path beyond L/M ~ 16).  Holding
+    ``q*L/M ~ FARROW_BLOCK`` instead keeps the local span bounded for
+    any ratio — at the extreme ``q=1`` each "block" is one output whose
+    span is just ``taps+2``, i.e. the minimal per-output work the
+    reference CPU does (reference: src/resampler_fir.rs:542-590).
+    UPSAMPLING scales ``q`` up the same way (many outputs share each
+    input frame), bounding the number of static region blocks ``K`` for
+    high-ratio pairs whose out_capacity reaches OUT_CAP_MAX lanes."""
+    return max(1, min(FARROW_BLOCK_MAX, (block * M) // max(L, 1)))
 
 
 def farrow_matrix(coeffs, degree: int = FARROW_DEGREE):
@@ -450,22 +511,32 @@ def _convolve_farrow(config: FirConfig, coeffs):
     C = config.channels
     N = config.out_capacity
     valid_end = config.input_capacity
-    degree, q = FARROW_DEGREE, FARROW_BLOCK
+    degree = FARROW_DEGREE
+    q = farrow_block_size(L_, M_)
     d1 = degree + 1
+    wide = config.wide
 
     i = np.arange(N, dtype=np.int64)
-    j_np = ((i * L_) // M_).astype(np.int32)
-    s_np = ((i * L_) % M_).astype(np.int32)
+    j_i64 = (i * L_) // M_
+    s_i64 = (i * L_) % M_
+    if wide:
+        # lanes whose static row offset exceeds the buffer can never be
+        # emitted (offset + taps <= avail <= capacity fails); clamping
+        # keeps the region geometry bounded for any u32 ratio while the
+        # masked lanes read harmless garbage
+        j_i64 = np.minimum(j_i64, valid_end + 2)
+    j_np = j_i64.astype(np.int64)
+    s_np = s_i64
     j_max = int(j_np[-1])
     region_len = j_max + 2 + taps
     p_len = j_max + 3  # VALID conv positions: region_len - taps + 1
 
     K = -(-N // q)
     n_pad = K * q
-    j_pad = np.concatenate([j_np, np.full(n_pad - N, j_np[-1], np.int32)])
-    s_pad = np.concatenate([s_np, np.zeros(n_pad - N, np.int32)])
+    j_pad = np.concatenate([j_np, np.full(n_pad - N, j_np[-1], np.int64)])
+    s_pad = np.concatenate([s_np, np.zeros(n_pad - N, np.int64)])
     block_base = j_pad.reshape(K, q)[:, 0]               # [K] static
-    j_loc = j_pad.reshape(K, q) - block_base[:, None]    # [K, q] static
+    j_loc = (j_pad.reshape(K, q) - block_base[:, None]).astype(np.int32)
     w_max = int(j_loc.max()) + 2                         # +1 wrap, +1 j+1
     # The last block's local span can reach past p_len-1 (its lanes are
     # padded repeats of the final output), and conversely block_base.max()
@@ -478,14 +549,37 @@ def _convolve_farrow(config: FirConfig, coeffs):
     filt = jnp.asarray(A[:, None, :])  # [d1, 1, taps] (OIH)
 
     j_loc_c = jnp.asarray(j_loc)
-    s_c = jnp.asarray(s_pad.reshape(K, q))
-    M = jnp.int32(M_)
+    if wide:
+        s_c = jnp.asarray(s_pad.reshape(K, q).astype(np.uint32))
+        M_u = jnp.uint32(M_)
+    else:
+        s_c = jnp.asarray(s_pad.reshape(K, q).astype(np.int32))
+        M = jnp.int32(M_)
 
-    def convolve(buffer, read_pos, pos_num, n_out):
-        base = pos_num // M
-        r = pos_num - base * M
+    def convolve(buffer, read_pos, pos, n_out):
         avail = valid_end - read_pos
-        base = jnp.minimum(base, avail)
+        if wide:
+            # pos = (pos_hi frames, pos_lo subframe numerator), both u32.
+            # All residue arithmetic is exact mod-2^32: true values stay
+            # below M < 2^32, and the single possible overflow in
+            # pos_lo + s is detected by the wrapped result comparing
+            # smaller (t < pos_lo).
+            pos_hi, pos_lo = pos
+            base = jnp.minimum(
+                pos_hi, jnp.asarray(avail, jnp.uint32)
+            ).astype(jnp.int32)
+            t = pos_lo + s_c                              # [K, q] u32
+            wrap_b = (t < pos_lo) | (t >= M_u)
+            rem = jnp.where(wrap_b, t - M_u, t)
+            wrap = wrap_b.astype(jnp.int32)
+            frac = rem.astype(jnp.float32) / np.float32(M_)
+        else:
+            pos_num = pos
+            base = pos_num // M
+            r = pos_num - base * M
+            base = jnp.minimum(base, avail)
+            wrap = (r + s_c >= M).astype(jnp.int32)       # [K, q]
+            frac = (r + s_c - M * wrap).astype(jnp.float32) / jnp.float32(M_)
 
         region = jax.lax.dynamic_slice(
             buffer, (0, read_pos + base), (C, region_len)
@@ -505,8 +599,6 @@ def _convolve_farrow(config: FirConfig, coeffs):
             axis=0,
         )  # [K, C, d1, w_max] — static slices, no gather
 
-        wrap = (r + s_c >= M).astype(jnp.int32)          # [K, q]
-        frac = (r + s_c - M * wrap).astype(jnp.float32) / jnp.float32(M_)
         u = 2.0 * frac - 1.0
         ts = [jnp.ones_like(u), u]
         for _ in range(d1 - 2):
@@ -653,9 +745,10 @@ def _convolve_periodic(config: FirConfig, coeffs):
 def resolve_convolve_path(config: FirConfig, path: str = "auto") -> str:
     """Pick the convolution strategy: the periodic banded matmul whenever
     the schedule period fits on chip; the Farrow polynomial path for
-    other ratios with a bounded per-block span; the gather path for
-    heavy coprime downsampling beyond it (``path="gather"`` also selects
-    the table-lerp-exact general path explicitly)."""
+    every other ratio (its block size adapts to the ratio, see
+    ``farrow_block_size``, so heavy coprime downsampling stays on the
+    production structure).  ``path="gather"`` selects the
+    table-lerp-exact general path explicitly — it is never auto-chosen."""
     if path != "auto":
         return path
     atlas_bytes = 8 * config.ratio_den * (2 * config.ratio_num + config.taps + 1)
@@ -665,10 +758,115 @@ def resolve_convolve_path(config: FirConfig, path: str = "auto") -> str:
         and atlas_bytes <= MAX_ATLAS_BYTES
     ):
         return "periodic"
-    farrow_w = (FARROW_BLOCK * config.ratio_num) // config.ratio_den + 4
-    if farrow_w <= FARROW_MAX_WIDTH:
-        return "farrow"
-    return "gather"
+    return "farrow"
+
+
+def _make_wide_step(config: FirConfig, _convolve):
+    """Chunk step for ratios beyond the int32 envelope: any nonzero u32
+    rate pair (reference: src/resampler_fir.rs:295-330 accepts any pair
+    via an f64 position; v0.5.1 CHANGELOG #36 fixed exactly this overflow
+    class).  Here the position stays EXACT: ``pos = pos_hi + pos_lo/M``
+    input frames with both words uint32 (device int64 would require
+    forcing jax_enable_x64 on library users).
+
+    The closed-form ``_compute_n_out`` would overflow, so emission is a
+    per-lane mask from static int64 split tables: lane ``i`` emits iff
+    ``pos_hi + j_i + wrap_i + taps <= avail`` with ``j_i = (i*L)//M``
+    clamped at the buffer edge (an unemittable lane's clamp is
+    unobservable).  Consumption looks up the stride ``n_out*L`` in static
+    ``(hi, lo)`` tables.  Single documented inexactness: for reduced
+    ratios in the band ``L//M > 2^32 - 8195`` (downsampling by over
+    ~4.29 billion with M small) the saturating uint32 add may under-skip
+    by <= 8194 frames per output — ~2 ppm of such a stride; every other
+    u32 pair is scheduled exactly, which the reference's f64 position
+    cannot claim (it rounds once ``pos`` exceeds 2^53/M)."""
+    L, M = config.ratio_num, config.ratio_den
+    C = config.channels
+    cap = config.input_capacity
+    taps = config.taps
+    N = config.out_capacity
+    valid_end = config.input_capacity
+
+    i = np.arange(N, dtype=np.int64)
+    j_lane = np.minimum((i * L) // M, cap + 2).astype(np.uint32)
+    s_lane = ((i * L) % M).astype(np.uint32)
+    n = np.arange(N + 1, dtype=np.int64)
+    nl_hi = np.minimum((n * L) // M, (1 << 32) - 1).astype(np.uint32)
+    nl_lo = ((n * L) % M).astype(np.uint32)
+
+    j_lane_c = jnp.asarray(j_lane)
+    s_lane_c = jnp.asarray(s_lane)
+    nl_hi_c = jnp.asarray(nl_hi)
+    nl_lo_c = jnp.asarray(nl_lo)
+    M_u = jnp.uint32(M)
+    taps_u = jnp.uint32(taps)
+    u32_max = jnp.uint32((1 << 32) - 1)
+
+    def step(state: FirState, chunk, n_valid, out_budget):
+        chunk = chunk.astype(jnp.float32)
+        n_in = chunk.shape[0]
+        assert n_in <= config.input_capacity and chunk.shape[1] == C
+        n_valid = jnp.minimum(jnp.asarray(n_valid, jnp.int32), n_in)
+        out_budget = jnp.asarray(out_budget, jnp.int32)
+
+        buffer = state["buffer"]
+        avail = state["available_frames"]
+        pos_hi = state["pos_hi"]
+        pos_lo = state["pos_lo"]
+
+        # ---- copy-in (same end-aligned layout as the narrow step) ----
+        to_copy = jnp.minimum(n_valid, valid_end - avail)
+        mask = jnp.arange(n_in, dtype=jnp.int32) < to_copy
+        chunk_masked = jnp.where(mask[None, :], chunk.T, 0.0)
+        conc = jnp.concatenate([buffer[:, :valid_end], chunk_masked], axis=1)
+        valid_part = jax.lax.dynamic_slice(
+            conc, (0, to_copy), (C, valid_end)
+        )
+        buffer = jnp.concatenate(
+            [valid_part, jnp.zeros((C, config.read_slack), jnp.float32)],
+            axis=1,
+        )
+        avail = avail + to_copy
+
+        # ---- emission-mask schedule ----
+        avail_u = jnp.asarray(avail, jnp.uint32)
+        t = pos_lo + s_lane_c
+        wrap = ((t < pos_lo) | (t >= M_u)).astype(jnp.uint32)
+        o1 = pos_hi + j_lane_c
+        o2 = o1 + wrap + taps_u
+        emit = (o1 >= pos_hi) & (o2 >= o1) & (o2 <= avail_u)
+        n_out = jnp.minimum(
+            jnp.sum(emit.astype(jnp.int32)), out_budget
+        ).astype(jnp.int32)
+
+        # ---- convolution (wide farrow) ----
+        read_pos = jnp.int32(valid_end) - avail
+        out = _convolve(buffer, read_pos, (pos_hi, pos_lo), n_out)
+        lane = jnp.arange(config.out_capacity, dtype=jnp.int32)
+        out = jnp.where((lane < n_out)[:, None], out, 0.0)
+
+        # ---- consume via static stride tables ----
+        d_hi = jnp.take(nl_hi_c, n_out)
+        d_lo = jnp.take(nl_lo_c, n_out)
+        t2 = pos_lo + d_lo
+        carry = (t2 < pos_lo) | (t2 >= M_u)
+        lo_after = jnp.where(carry, t2 - M_u, t2)
+        hi_raw = pos_hi + d_hi + carry.astype(jnp.uint32)
+        hi_after = jnp.where(hi_raw < pos_hi, u32_max, hi_raw)  # saturate
+        consumed_u = jnp.minimum(hi_after, avail_u)
+        consumed = consumed_u.astype(jnp.int32)
+        avail = avail - consumed
+        pos_hi_new = hi_after - consumed_u
+
+        new_state = FirState(
+            buffer=buffer,
+            available_frames=avail,
+            pos_hi=pos_hi_new,
+            pos_lo=lo_after,
+        )
+        return new_state, out, to_copy, n_out
+
+    return step
 
 
 def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
@@ -687,6 +885,11 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
 
     valid_end = config.input_capacity
     path = resolve_convolve_path(config, path)
+    if config.wide and path != "farrow":
+        raise ValueError(
+            f"ratios beyond the int32 schedule envelope use the farrow "
+            f"path (wide uint32 scheduling), not {path!r}"
+        )
     if path == "periodic":
         _convolve = _convolve_periodic(config, coeffs)
     elif path == "farrow":
@@ -695,6 +898,8 @@ def make_fir_step(config: FirConfig, coeffs: np.ndarray, *, path: str = "auto"):
         _convolve = _convolve_gather(config, coeffs)
     else:
         raise ValueError(f"unknown convolve path {path!r}")
+    if config.wide:
+        return _make_wide_step(config, _convolve)
 
     def step(state: FirState, chunk, n_valid, out_budget):
         chunk = chunk.astype(jnp.float32)
@@ -948,6 +1153,58 @@ def _sync_atlas(config: FirConfig, coeffs) -> np.ndarray:
     return a2
 
 
+def _farrow_tm_plan(config: FirConfig, coeffs):
+    """Static precompute for the synchronized-fleet Farrow contraction
+    (see ``make_fir_fleet_step_sync_tm``): per-lane schedule splits,
+    block geometry, and the positioning atlas ``Ashift2``.
+
+    The formulation: with the fleet-shared residue ``r`` known only at
+    runtime, output ``i = k*q + l`` needs the blended tap row evaluated
+    at its phase ``u_i`` and placed at its local offset ``jl_i``.  Both
+    fold into ONE shared matmul:
+
+        Ablk[i, s] = sum_{d, j} P[i, (d, j)] * Ashift2[(d, j), s],
+        P[i, (d, j)] = T_d(u_i) * [jl_i == j],
+        Ashift2[(d, j), s] = A[d, s - j]     (static),
+
+    i.e. the per-output banded weight rows are built by one
+    ``[N, d1*n_jl] @ [d1*n_jl, w_blk]`` MXU matmul SHARED across every
+    stream and channel — the per-stream Farrow path pays its basis conv
+    per stream; here the whole fleet pays the weights once, then one
+    blocked contraction ``[K](q, w_blk) x (w_blk, B*C)`` does the minimal
+    ``~taps`` MACs per output sample."""
+    L_, M_, taps = config.ratio_num, config.ratio_den, config.taps
+    N = config.out_capacity
+    degree = FARROW_DEGREE
+    d1 = degree + 1
+    q = farrow_block_size(L_, M_)
+    K = -(-N // q)
+    n_pad = K * q
+
+    i = np.arange(N, dtype=np.int64)
+    j_np = ((i * L_) // M_).astype(np.int64)
+    s_np = ((i * L_) % M_).astype(np.int64)
+    j_pad = np.concatenate([j_np, np.full(n_pad - N, j_np[-1], np.int64)])
+    s_pad = np.concatenate([s_np, np.zeros(n_pad - N, np.int64)])
+    block_base = j_pad.reshape(K, q)[:, 0]
+    j_loc = (j_pad.reshape(K, q) - block_base[:, None]).astype(np.int32)
+    n_jl = int(j_loc.max()) + 2  # +1 wrap carry
+    w_blk = n_jl - 1 + taps
+
+    A, _ = farrow_matrix(coeffs, degree)  # [d1, taps] f32
+    ashift2 = np.zeros((d1 * n_jl, w_blk), np.float32)
+    for d in range(d1):
+        for j in range(n_jl):
+            ashift2[d * n_jl + j, j : j + taps] = A[d]
+    region_rows = int(block_base.max()) + w_blk
+    return dict(
+        q=q, K=K, n_pad=n_pad, d1=d1, n_jl=n_jl, w_blk=w_blk,
+        block_base=block_base.astype(np.int64),
+        j_loc=j_loc, s_pad=s_pad.reshape(K, q),
+        ashift2=ashift2, region_rows=region_rows,
+    )
+
+
 def make_fir_fleet_step_sync_tm(
     config: FirConfig,
     coeffs: np.ndarray,
@@ -956,6 +1213,7 @@ def make_fir_fleet_step_sync_tm(
     max_chunk: int,
     horizon: int = 16,
     precision=jax.lax.Precision.HIGHEST,
+    path: str = "auto",
 ):
     """TIME-MAJOR synchronized-fleet step — the fastest measured serving
     path (v5e-1 headline config: **11.6 Gsamples/s = 84.5x reference**,
@@ -971,22 +1229,28 @@ def make_fir_fleet_step_sync_tm(
     - consume = advance a ``start`` scalar; a ``lax.cond`` compacts the
       window to the front every ~``horizon`` steps (one contiguous copy,
       amortized; cond executes one branch at top level).
-    - the banded-atlas contraction becomes ONE fat matmul
-      ``[M, s_len] x [s_len, K*B*C]`` — ideal MXU occupancy.
+    - the convolution is fleet-wide: for periodic ratios the banded-atlas
+      contraction is ONE fat matmul ``[M, s_len] x [s_len, K*B*C]``; for
+      arbitrary coprime ratios the Farrow positioning matmul builds the
+      per-output banded weights once for the whole fleet, then a blocked
+      batched matmul does ``~taps`` MACs per output (``_farrow_tm_plan``).
 
     ``step(state, chunks_tm [n<=max_chunk, B*C], n_valid) ->
     (state', out [B, out_cap, C], consumed, produced)``.  Feed layout is
     time-major (frame-synchronous interleaved fleets produce this
     naturally); per-stream semantics equal ``make_fir_step`` — the
-    equivalence test runs 30+ steps across compactions bit-exact.
+    equivalence test runs 30+ steps across compactions bit-exact
+    (periodic) / to the polynomial-evaluation floor (farrow).
 
     Stale data beyond ``fill`` is harmless: region reads overlapping it
     are multiplied by structural zeros of the banded atlas for active
     lanes, and inactive lanes are masked after the matmul.
     """
-    if resolve_convolve_path(config) != "periodic":
+    path = resolve_convolve_path(config, path)
+    if path not in ("periodic", "farrow"):
         raise ValueError(
-            "synchronized fleet step requires the periodic convolve path"
+            f"synchronized tm fleet step supports the periodic and farrow "
+            f"convolve paths, not {path!r}"
         )
     L = config.ratio_num
     M = config.ratio_den
@@ -995,45 +1259,31 @@ def make_fir_fleet_step_sync_tm(
     B = n_streams
     R = B * C
     cap = config.input_capacity
-    span = L + taps + 1
-    K = -(-config.out_capacity // M)
     out_cap = config.out_capacity
     slack = config.read_slack
     ring = -(-(cap + slack + horizon * max_chunk) // 256) * 256
-    # im2col unconditionally: in time-major the block decomposition is a
-    # major-axis reshape + concat (cheap); the L >> taps padding waste the
-    # frames-minor path avoids via lax.conv is bounded by n_blk*L/span
-    n_blk = 1 + -(-(span - L) // L)
-    s_len = n_blk * L
-    region_rows = (K + n_blk) * L
 
-    a2 = jnp.asarray(_sync_atlas(config, coeffs))
-    l_inv = pow(L, -1, M) if M > 1 else 0
+    if path == "periodic":
+        span = L + taps + 1
+        K = -(-config.out_capacity // M)
+        # im2col unconditionally: in time-major the block decomposition is
+        # a major-axis reshape + concat (cheap); the L >> taps padding
+        # waste the frames-minor path avoids via lax.conv is bounded by
+        # n_blk*L/span
+        n_blk = 1 + -(-(span - L) // L)
+        s_len = n_blk * L
+        region_rows = (K + n_blk) * L
+        a2 = jnp.asarray(_sync_atlas(config, coeffs))
+        l_inv = pow(L, -1, M) if M > 1 else 0
+    else:
+        fp = _farrow_tm_plan(config, coeffs)
+        region_rows = fp["region_rows"]
+        j_loc_c = jnp.asarray(fp["j_loc"])  # [K, q]
+        s_c = jnp.asarray(fp["s_pad"].astype(np.int32))  # [K, q]
+        ashift2_c = jnp.asarray(fp["ashift2"])  # [d1*n_jl, w_blk]
+    assert region_rows <= slack, (region_rows, slack)
 
-    def step(state: FirState, chunks_tm, n_valid):
-        chunks_tm = chunks_tm.astype(jnp.float32)
-        n_in, _ = chunks_tm.shape
-        assert chunks_tm.shape == (n_in, R) and n_in <= max_chunk
-        n_valid = jnp.minimum(jnp.asarray(n_valid, jnp.int32), n_in)
-
-        buffer = state["buffer"]
-        start = state["start"]
-        fill = state["fill"]
-        pos_num = state["pos_num"]
-        avail = fill - start
-
-        # ---- append (in-place KV-cache DUS) ----
-        to_copy = jnp.minimum(n_valid, cap - avail)
-        mask = jnp.arange(n_in, dtype=jnp.int32) < to_copy
-        chunk_masked = jnp.where(mask[:, None], chunks_tm, 0.0)
-        buffer = jax.lax.dynamic_update_slice(
-            buffer, chunk_masked, (fill, 0)
-        )
-        fill = fill + to_copy
-        avail = avail + to_copy
-
-        # ---- shared schedule ----
-        n_out = _compute_n_out(config, pos_num, avail, jnp.int32(out_cap))
+    def _contract_periodic(buffer, start, pos_num):
         d_min = pos_num // jnp.int32(M)
         r = pos_num - d_min * jnp.int32(M)
         i0 = (r * jnp.int32(l_inv)) % jnp.int32(M)
@@ -1082,7 +1332,86 @@ def make_fir_fleet_step_sync_tm(
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )  # [K, M, R]
-        out = out.reshape(K * M, R)[:out_cap]
+        return out.reshape(K * M, R)[:out_cap]
+
+    def _contract_farrow(buffer, start, pos_num):
+        q, Kf = fp["q"], fp["K"]
+        n_jl, w_blk, d1 = fp["n_jl"], fp["w_blk"], fp["d1"]
+        Mi = jnp.int32(M)
+        base = pos_num // Mi
+        r = pos_num - base * Mi
+
+        region = jax.lax.dynamic_slice(
+            buffer, (start + base, 0), (region_rows, R)
+        )
+        region_blk = jnp.stack(
+            [
+                jax.lax.slice_in_dim(region, int(b), int(b) + w_blk, axis=0)
+                for b in fp["block_base"]
+            ],
+            axis=0,
+        )  # [K, w_blk, R] — static slices, no gather
+
+        # shared schedule residues -> Chebyshev basis + local offsets
+        wrap = (r + s_c >= Mi).astype(jnp.int32)          # [K, q]
+        frac = (r + s_c - Mi * wrap).astype(jnp.float32) / jnp.float32(M)
+        u = 2.0 * frac - 1.0
+        ts = [jnp.ones_like(u), u]
+        for _ in range(d1 - 2):
+            ts.append(2.0 * u * ts[-1] - ts[-2])
+        t_cheb = jnp.stack(ts, axis=-1)                   # [K, q, d1]
+        jl = j_loc_c + wrap                               # [K, q] in [0, n_jl)
+        onehot = (
+            jl[:, :, None] == jnp.arange(n_jl, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.float32)                             # [K, q, n_jl]
+        p_mat = (t_cheb[:, :, :, None] * onehot[:, :, None, :]).reshape(
+            fp["n_pad"], d1 * n_jl
+        )
+
+        # ONE shared positioning matmul builds every output's banded
+        # weight row, then a blocked batched matmul does ~taps MACs per
+        # output sample across the whole fleet.
+        a_blk = jnp.einsum(
+            "np,pw->nw", p_mat, ashift2_c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(Kf, q, w_blk)
+        out = jnp.einsum(
+            "kqw,kwr->kqr", a_blk, region_blk,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [K, q, R]
+        return out.reshape(fp["n_pad"], R)[:out_cap]
+
+    _contract = _contract_periodic if path == "periodic" else _contract_farrow
+
+    def step(state: FirState, chunks_tm, n_valid):
+        chunks_tm = chunks_tm.astype(jnp.float32)
+        n_in, _ = chunks_tm.shape
+        assert chunks_tm.shape == (n_in, R) and n_in <= max_chunk
+        n_valid = jnp.minimum(jnp.asarray(n_valid, jnp.int32), n_in)
+
+        buffer = state["buffer"]
+        start = state["start"]
+        fill = state["fill"]
+        pos_num = state["pos_num"]
+        avail = fill - start
+
+        # ---- append (in-place KV-cache DUS) ----
+        to_copy = jnp.minimum(n_valid, cap - avail)
+        mask = jnp.arange(n_in, dtype=jnp.int32) < to_copy
+        chunk_masked = jnp.where(mask[:, None], chunks_tm, 0.0)
+        buffer = jax.lax.dynamic_update_slice(
+            buffer, chunk_masked, (fill, 0)
+        )
+        fill = fill + to_copy
+        avail = avail + to_copy
+
+        # ---- shared schedule ----
+        n_out = _compute_n_out(config, pos_num, avail, jnp.int32(out_cap))
+
+        # ---- fleet-wide contraction ----
+        out = _contract(buffer, start, pos_num)  # [out_cap, R]
         lane = jnp.arange(out_cap, dtype=jnp.int32)
         out = jnp.where((lane < n_out)[:, None], out, 0.0)
         out = jnp.transpose(out.reshape(out_cap, B, C), (1, 0, 2))
@@ -1252,8 +1581,14 @@ class ResamplerFir:
         serving loop can slew a few ppm per chunk to track a remote
         clock.  Positive slew skips ahead (drops signal time); negative
         slew re-reads buffered history and is clamped so the position
-        never precedes the oldest buffered frame.  Returns the slew
-        actually applied, in input samples.
+        never precedes the oldest buffered frame — consumption is eager
+        (reference-parity bookkeeping), so less than one input sample of
+        rewind is available per step.  Returns the slew actually
+        applied, in input samples; to track a steady NEGATIVE drift,
+        carry the unapplied residual into the next request
+        (``want += requested - applied``), as
+        tests/test_batched.py::test_fleet_slew_tracks_per_stream_clock_drift
+        demonstrates.
 
         The reference has no equivalent (its f64 ``position`` could be
         nudged, but is not exposed; reference:
@@ -1262,16 +1597,26 @@ class ResamplerFir:
         """
         M = self._config.ratio_den
         delta = int(round(float(samples) * M))
-        pos = int(self._state["pos_num"])
+        wide = self._config.wide
+        if wide:
+            pos = int(self._state["pos_hi"]) * M + int(self._state["pos_lo"])
+        else:
+            pos = int(self._state["pos_num"])
         # clamp: never before the oldest buffered frame, and keep the
         # numerator inside the int32 overflow envelope of _compute_n_out
         # (pos_num + i*L < (capacity+1)*M)
         ceiling = self._config.input_capacity * M
         applied = min(max(delta, -pos), ceiling - pos)
         if applied:
-            self._state = dict(
-                self._state, pos_num=jnp.int32(pos + applied)
-            )
+            new_pos = pos + applied
+            if wide:
+                self._state = dict(
+                    self._state,
+                    pos_hi=jnp.uint32(new_pos // M),
+                    pos_lo=jnp.uint32(new_pos % M),
+                )
+            else:
+                self._state = dict(self._state, pos_num=jnp.int32(new_pos))
         return applied / M
 
     @property

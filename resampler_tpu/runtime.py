@@ -41,13 +41,21 @@ class StreamingFleet:
         chunk_frames: int = 2048,
         queue_capacity_frames: int = 1 << 16,
         mesh=None,
+        synchronized: bool = False,
     ) -> None:
         self.n_streams = n_streams
         self.channels = channels
         self.chunk_frames = chunk_frames
+        self.synchronized = synchronized
         self.pool = HostStreamPool(
             n_streams, channels, capacity_frames=queue_capacity_frames
         )
+        # synchronized=True drives the time-major ring fleet (the fastest
+        # measured serving path, ~85x reference) under a SHARED per-step
+        # valid count: each step feeds min-over-streams frames and holds
+        # the excess in the per-stream carry.  Right for uniform
+        # producers (frame-synchronous fleets); divergent feeds should
+        # keep the default vmapped engine with per-stream schedules.
         self.engine = BatchedResamplerFir(
             n_streams,
             channels,
@@ -56,6 +64,8 @@ class StreamingFleet:
             latency,
             attenuation,
             mesh=mesh,
+            synchronized=synchronized,
+            max_chunk=chunk_frames,
         )
         # Unconsumed frames awaiting the next device step, staged in ONE
         # left-aligned [B, cap, C] array + per-stream lengths so every

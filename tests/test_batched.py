@@ -222,3 +222,55 @@ def test_synchronized_fleet_matches_vmapped():
         np.testing.assert_allclose(
             np.asarray(out_a), np.asarray(out_b), atol=2e-6
         )
+
+
+def test_fleet_slew_tracks_per_stream_clock_drift():
+    """Per-stream slew on the vmapped fleet: each stream's producer
+    drifts by a different ppm; slewing each stream by its own drift
+    restores exact pitch per stream (the serving-tier version of
+    test_slew_tracks_clock_drift_end_to_end)."""
+    B, C = 3, 1
+    fs = 44100
+    drifts = np.array([150e-6, 0.0, -120e-6])
+    k = np.arange(10 * 2048)
+    xs = np.stack([
+        np.sin(2 * np.pi * 1000.0 * k / (fs * (1 + d))) for d in drifts
+    ]).astype(np.float32)[:, :, None]  # [B, n, 1]
+
+    fleet = BatchedResamplerFir(
+        B, C, 44100, 48000, Latency.Sample64, Attenuation.Db90
+    )
+    ys = [[] for _ in range(B)]
+    # Negative slew is bounded by the buffered history (pos_num ends each
+    # step in [0, M), i.e. <1 input sample of rewind), so a steady
+    # negative drift is tracked by carrying the unapplied residual into
+    # the next chunk's request — the documented serving pattern.
+    residual = np.zeros(B)
+    for i in range(10):
+        chunk = xs[:, i * 2048 : (i + 1) * 2048]
+        out, cons, prod, _ = fleet.resample(chunk)
+        # uniform feed + same ratio -> equal produced counts per stream
+        for b in range(B):
+            ys[b].append(np.asarray(out)[b, : int(prod[b]), 0])
+        want = 2048 * drifts + residual
+        applied = fleet.slew(want)
+        residual = want - applied
+        assert np.abs(residual).max() < 1.0  # deficit never accumulates far
+
+    def tone_hz(y):
+        seg = y[2000:-2000]
+        zc = np.where((seg[:-1] < 0) & (seg[1:] >= 0))[0]
+        return (len(zc) - 1) / ((zc[-1] - zc[0]) / 48000)
+
+    for b in range(B):
+        y = np.concatenate(ys[b])
+        assert abs(tone_hz(y) - 1000.0) < 0.03, (b, tone_hz(y))
+
+    # scalar slew on a synchronized fleet applies fleet-wide; vector raises
+    sync = BatchedResamplerFir(
+        2, 1, 44100, 48000, Latency.Sample32, synchronized=True
+    )
+    sync.resample(np.zeros((2, 256, 1), np.float32))
+    assert sync.slew(0.5) == 0.5
+    with pytest.raises(ValueError, match="synchronized"):
+        sync.slew(np.array([0.1, 0.2]))

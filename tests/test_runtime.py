@@ -147,3 +147,63 @@ def test_fleet_host_staging_scales_to_large_fleets():
         fleet.step()
         best = min(best, time.perf_counter() - t0)
     assert best < 0.25, f"host staging took {best*1e3:.1f} ms at B={B}"
+
+
+def test_fleet_synchronized_matches_single_streams():
+    """StreamingFleet(synchronized=True) — the serving runtime on the
+    time-major ring fast path — produces the same per-stream outputs as
+    standalone resamplers under uniform feeds, including a coprime
+    (Farrow-path) ratio."""
+    for in_hz, out_hz in [(44100, 48000), (44100, 44101)]:
+        B, C = 4, 2
+        rng = np.random.default_rng(11)
+        fleet = StreamingFleet(
+            B, C, in_hz, out_hz, Latency.Sample32, Attenuation.Db90,
+            chunk_frames=512, synchronized=True,
+        )
+        n = 6 * 512
+        inputs = [
+            (rng.standard_normal(C * n) * 0.5).astype(np.float32)
+            for _ in range(B)
+        ]
+        for s, x in enumerate(inputs):
+            assert fleet.push(s, x) == x.size
+        fleet_out = fleet.drain()
+        for s, x in enumerate(inputs):
+            single = ResamplerFir(
+                C, in_hz, out_hz, Latency.Sample32, Attenuation.Db90
+            )
+            expected = single.process(x)
+            assert fleet_out[s].size == expected.size, f"stream {s}"
+            np.testing.assert_allclose(fleet_out[s], expected, atol=1e-5)
+
+
+def test_fleet_synchronized_ragged_feed_carries():
+    """With non-uniform pushes the synchronized fleet advances at the
+    min-over-streams rate and keeps the excess in the host carry —
+    nothing is lost once feeds equalize."""
+    B, C = 2, 1
+    fleet = StreamingFleet(
+        B, C, 48000, 44100, Latency.Sample16, Attenuation.Db90,
+        chunk_frames=256, synchronized=True,
+    )
+    rng = np.random.default_rng(3)
+    xs = [
+        (rng.standard_normal(4000) * 0.5).astype(np.float32) for _ in range(B)
+    ]
+    # stream 1 gets its audio late
+    fleet.push(0, xs[0])
+    fleet.push(1, xs[1][:1000])
+    early = [fleet.step() for _ in range(3)]
+    fleet.push(1, xs[1][1000:])
+    late = fleet.drain()
+    outs = [
+        np.concatenate([e[s] for e in early] + [late[s]]) for s in range(B)
+    ]
+    for s in range(B):
+        single = ResamplerFir(
+            C, 48000, 44100, Latency.Sample16, Attenuation.Db90
+        )
+        expected = single.process(xs[s])
+        assert outs[s].size == expected.size
+        np.testing.assert_allclose(outs[s], expected, atol=1e-5)
