@@ -44,11 +44,16 @@ __all__ = [
     "ResamplerFir",
     "BatchedResamplerFir",
     "BatchedResamplerFft",
+    "StreamingFleet",
     "__version__",
 ]
 
 
 def __getattr__(name):  # lazy imports keep `import resampler_tpu` light
+    if name == "StreamingFleet":
+        from .runtime import StreamingFleet
+
+        return StreamingFleet
     if name in __all__:
         from . import engine
 
