@@ -13,6 +13,11 @@ Shows the four serving tiers:
 3. Checkpoint/resume of explicit stream state (SURVEY.md §5 analog).
 4. FFT fleet with the auto backend (on TPU: the fused Pallas banded
    magsplit kernel, the 56.6x path) via `BatchedResamplerFft`.
+5. Synchronized serving of an ARBITRARY coprime ratio with per-stream
+   clock-drift slewing: `StreamingFleet(synchronized=True)` drives the
+   time-major ring step whose Farrow contraction (~58x reference) has no
+   periodic structure to exploit — plus `slew()` tracking a drifting
+   producer clock.
 """
 
 import sys
@@ -126,8 +131,44 @@ def tier4_fft_fleet():
           f"(expected 300), peak {np.abs(y).max():.3f}")
 
 
+def tier5_sync_arbitrary_ratio_with_slew():
+    print("== tier 5: synchronized fleet, arbitrary ratio + drift slew ==")
+    from resampler_tpu.engine.batched import BatchedResamplerFir
+
+    B, C, n = 4, 1, 2048
+    drift = 200e-6  # stream 0's producer clock runs 200 ppm fast
+    fleet = BatchedResamplerFir(
+        B, C, 44100, 44101, Latency.Sample64, Attenuation.Db90
+    )
+    k = np.arange(10 * n)
+    xs = np.stack(
+        [np.sin(2 * np.pi * 1000.0 * k / (44100 * (1 + (drift if b == 0 else 0))))
+         for b in range(B)]
+    ).astype(np.float32)[:, :, None]
+    ys = [[] for _ in range(B)]
+    residual = np.zeros(B)
+    for i in range(10):
+        out, cons, prod, _ = fleet.resample(xs[:, i * n : (i + 1) * n])
+        for b in range(B):
+            ys[b].append(np.asarray(out)[b, : int(prod[b]), 0])
+        want = np.array([n * drift, 0, 0, 0]) + residual
+        applied = fleet.slew(want)
+        residual = want - applied
+
+    def hz(y):
+        seg = y[2000:-2000]
+        zc = np.where((seg[:-1] < 0) & (seg[1:] >= 0))[0]
+        return (len(zc) - 1) / ((zc[-1] - zc[0]) / 44101)
+
+    y0, y1 = np.concatenate(ys[0]), np.concatenate(ys[1])
+    print(f"  coprime 44100->44101 sync fleet; stream 0 (drifting, slewed): "
+          f"{hz(y0):.3f} Hz, stream 1 (clean): {hz(y1):.3f} Hz "
+          f"(both expected 1000.000)")
+
+
 if __name__ == "__main__":
     tier1_streaming_fleet()
     tier2_time_major_sync()
     tier3_checkpoint()
     tier4_fft_fleet()
+    tier5_sync_arbitrary_ratio_with_slew()
