@@ -105,9 +105,7 @@ def _dma_kernel(base_ref, a8_ref, buf_ref, o_ref, seg_ref, sem_ref, *, K, R):
     # traced dynamic_slice of the 2.5 MB segment instead hung the Mosaic
     # compiler for >10 min).
     rem = (base + k * L) % 8
-    a_r = jax.lax.dynamic_slice(
-        a8_ref[:], (rem, 0, 0), (1, M, S_DMA)
-    )[0]
+    a_r = a8_ref[rem]  # dynamic major-axis ref index (supported)
     o_ref[0] = jax.lax.dot(
         a_r, seg_ref[k % 2],
         preferred_element_type=jnp.float32,

@@ -83,6 +83,11 @@ class BatchedResamplerFir:
             tm_step = fir_engine.make_fir_fleet_step_sync_tm(
                 self._config, coeffs, n_streams,
                 max_chunk=max_chunk, horizon=horizon,
+                # GSPMD cannot auto-partition a pallas_call: the manual-
+                # DMA contraction stays single-chip; mesh-sharded fleets
+                # keep the XLA einsum form (shards fine, ~12% slower
+                # contraction)
+                contraction="xla" if mesh is not None else "auto",
             )
             B, C = n_streams, channels
 

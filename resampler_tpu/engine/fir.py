@@ -1214,10 +1214,18 @@ def make_fir_fleet_step_sync_tm(
     horizon: int = 16,
     precision=jax.lax.Precision.HIGHEST,
     path: str = "auto",
+    contraction: str = "auto",
 ):
     """TIME-MAJOR synchronized-fleet step — the fastest measured serving
     path (v5e-1 headline config: **11.6 Gsamples/s = 84.5x reference**,
     vs 8.1 for the end-aligned slide variant).
+
+    ``contraction``: "auto" | "xla" | "dma" — on TPU the periodic
+    contraction defaults to the manual-DMA Pallas kernel
+    (ops/fir_dma_kernel.py), which reads block rows straight from the
+    HBM ring buffer instead of materializing region/segs intermediates
+    (measured +13.7% on the contraction, bit-close).  "xla" keeps the
+    einsum form (always used off-TPU and for precision="bf16x4").
 
     Layout is the whole trick: the stream buffer is ``[ring, B*C]`` with
     frames on the MAJOR axis and (stream, channel) on lanes.  Then:
@@ -1275,6 +1283,24 @@ def make_fir_fleet_step_sync_tm(
         region_rows = (K + n_blk) * L
         a2 = jnp.asarray(_sync_atlas(config, coeffs))
         l_inv = pow(L, -1, M) if M > 1 else 0
+        if contraction == "auto":
+            # Mosaic DMA lane widths must be 128-aligned, so small fleets
+            # (B*C < 128) keep the XLA form.
+            contraction = (
+                "dma"
+                if jax.default_backend() == "tpu"
+                and precision == jax.lax.Precision.HIGHEST
+                and R % 128 == 0
+                else "xla"
+            )
+        if contraction == "dma" and R % 128 != 0:
+            # (interpret mode has no tiling constraint and stays usable
+            # for small-fleet CPU differentials)
+            raise ValueError(
+                f"the manual-DMA contraction needs the fleet lane count "
+                f"B*C ({R}) to be a multiple of 128 (Mosaic DMA tiling); "
+                "use contraction='xla'"
+            )
     else:
         fp = _farrow_tm_plan(config, coeffs)
         region_rows = fp["region_rows"]
@@ -1289,10 +1315,18 @@ def make_fir_fleet_step_sync_tm(
         i0 = (r * jnp.int32(l_inv)) % jnp.int32(M)
         c0 = (i0 * jnp.int32(L)) // jnp.int32(M)
         a = jax.lax.dynamic_slice(a2, (i0, c0), (M, span))
+        base = start + d_min
+        if contraction in ("dma", "dma_interpret"):
+            from ..ops.fir_dma_kernel import dma_banded_contract
+
+            out = dma_banded_contract(
+                buffer, base, a, L=L, M=M, span=span, K=K,
+                interpret=(contraction == "dma_interpret"),
+            )  # [K, M, R]
+            return out.reshape(K * M, R)[:out_cap]
         a_pad = jnp.pad(a, ((0, 0), (0, s_len - span)))
 
         # ---- ONE fat fleet-wide matmul ----
-        base = start + d_min
         region = jax.lax.dynamic_slice(
             buffer, (base, 0), (region_rows, R)
         )

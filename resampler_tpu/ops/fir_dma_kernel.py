@@ -1,0 +1,132 @@
+"""Manual-DMA banded contraction for the time-major sync FIR fleet.
+
+The XLA form of the tm periodic contraction materializes ``region``
+(one [~(K+2)L, R] dynamic_slice) and ``segs`` ([K, s_len, R]
+shifted-concat) in HBM before the fat einsum reads them back — ~72 MB of
+avoidable traffic per step at the bench config (ROUND2_NOTES' last named
+FIR lever).  This kernel reads each block's rows straight out of the
+HBM ring buffer instead: per grid step ``k`` it DMAs
+``buffer[base + k*L : +s_len, :]`` into a double-buffered VMEM scratch
+(overlapped with the previous block's dot) and writes one ``[M, R]``
+output block.  Zero intermediates.
+
+Mosaic constraints shaped the design (each cost a probe iteration,
+experiments/fir_tm_dma_probe.py):
+
+- DMA slice shapes AND start offsets must be 8-row aligned; ``base+k*L``
+  is arbitrary, so the DMA fetches from the aligned floor and the
+  traced sub-tile remainder ``rem in [0, 8)`` is absorbed into the
+  WEIGHTS — ``a8[r]`` is the banded atlas window with its columns
+  pre-shifted by ``r`` (built per step from the traced atlas slice; tiny
+  [8, M, s_dma]).  A traced ``dynamic_slice`` of the 2.5 MB segment
+  instead hung the Mosaic compiler; value-level ``dynamic_slice`` is
+  unimplemented in the TPU lowering — ref-level major-axis indexing
+  (``a8_ref[rem]``) is the supported form.
+
+Measured (v5e-1, 147/160 taps=128, B=1024, R=2048, dispatch-amortized):
+contraction 0.589 -> 0.518 ms (+13.7%), |dma - xla| <= 1.4e-6 (f32
+accumulation order).  (reference analog: the FIR convolve inner loop,
+src/fir/avx.rs:14-61, here fused with its data movement.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["dma_banded_contract", "build_shifted_atlas"]
+
+
+def build_shifted_atlas(a, span: int, s_dma: int):
+    """``[8, M, s_dma]`` with ``a8[r, :, r:r+span] = a`` — the 8 possible
+    DMA sub-tile remainders folded into the weight columns."""
+    return jnp.stack(
+        [jnp.pad(a, ((0, 0), (r, s_dma - span - r))) for r in range(8)]
+    )
+
+
+def _kernel(base_ref, a8_ref, buf_ref, o_ref, seg_ref, sem_ref, *, L, K,
+            s_dma, n_rows):
+    k = pl.program_id(0)
+    base = base_ref[0]
+
+    def get_dma(slot, kk):
+        start = base + kk * L
+        aligned = (start // 8) * 8
+        return pltpu.make_async_copy(
+            buf_ref.at[pl.ds(aligned, s_dma), :],
+            seg_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(k == 0)
+    def _warm():
+        get_dma(0, 0).start()
+
+    @pl.when(k + 1 < K)
+    def _next():
+        get_dma((k + 1) % 2, k + 1).start()
+
+    get_dma(k % 2, k).wait()
+    rem = (base + k * L) % 8
+    a_r = a8_ref[rem]  # [M, s_dma]
+    o_ref[0] = jax.lax.dot(
+        a_r,
+        seg_ref[k % 2],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "M", "span", "K", "interpret")
+)
+def dma_banded_contract(
+    buffer, base, a, *, L: int, M: int, span: int, K: int,
+    interpret: bool = False,
+):
+    """``out[k, j, r] = sum_s a[j, s] * buffer[base + k*L + s, r]`` for
+    ``k < K`` — the tm periodic contraction read directly from the ring
+    buffer.  ``buffer [ring, R]`` f32 (stays in HBM), ``base`` traced
+    int32 row offset, ``a [M, span]`` the (traced) banded atlas window.
+    Returns ``[K, M, R]`` f32."""
+    _, R = buffer.shape
+    s_dma = -(-span // 8) * 8 + 8
+    a8 = build_shifted_atlas(a, span, s_dma)
+    kern = functools.partial(
+        _kernel, L=L, K=K, s_dma=s_dma, n_rows=buffer.shape[0]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((8, M, s_dma), lambda k, b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, M, R), lambda k, b: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, s_dma, R), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, M, R), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * M * s_dma * R * 6,  # HIGHEST ~ 6 bf16 passes
+            bytes_accessed=K * s_dma * R * 4 + K * M * R * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([base], jnp.int32).astype(jnp.int32), a8, buffer)

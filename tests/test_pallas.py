@@ -80,6 +80,42 @@ def test_pallas_sync_fleet_kernel_matches_xla_sync():
         )
 
 
+def test_tm_dma_contraction_matches_xla():
+    """The manual-DMA banded contraction (ops/fir_dma_kernel.py, the TPU
+    production form of the tm periodic step) equals the XLA einsum form
+    across streaming steps — interpret mode on CPU; the real-device
+    check lives in tests_tpu/."""
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import Attenuation, reduce_ratio
+
+    L, M = reduce_ratio(44100, 48000)
+    B, C = 2, 2
+    cfg = fe.FirConfig(channels=C, taps=64, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(64, Attenuation.Db90, 44100 / 48000)
+    coeffs = fe.fir_coefficients(64, Attenuation.Db90, cutoff)
+    s_x = jax.jit(fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=512, horizon=3, contraction="xla"))
+    s_d = jax.jit(fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=512, horizon=3,
+        contraction="dma_interpret"))
+    st_x = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=512, horizon=3)
+    st_d = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=512, horizon=3)
+    rng = np.random.default_rng(0)
+    produced = 0
+    for _ in range(6):
+        ch = jnp.asarray(rng.standard_normal((512, B * C)), jnp.float32)
+        st_x, ox, cx, px = s_x(st_x, ch, jnp.int32(512))
+        st_d, od, cd, pd = s_d(st_d, ch, jnp.int32(512))
+        assert int(cx) == int(cd) and int(px) == int(pd)
+        p = int(px)
+        if p:
+            produced += 1
+            np.testing.assert_allclose(
+                np.asarray(ox)[:, :p], np.asarray(od)[:, :p], atol=1e-5
+            )
+    assert produced >= 4
+
+
 def test_split_hi_lo_survives_jit():
     """Regression: XLA's excess-precision simplification turns the naive
     ``a - bf16(a).astype(f32)`` into literal zero under jit; split_hi_lo

@@ -267,3 +267,117 @@ def test_arbitrary_rate_paths_device_vs_cpu():
             ref = np.asarray(jax.jit(conv)(jnp.asarray(buf), rp, pos, bud))
         d = np.abs(dev[:n_valid] - ref[:n_valid]).max()
         assert d < 5e-5, f"{path}: device-vs-cpu {d:.2e}"
+
+
+def test_tm_dma_contraction_on_device():
+    """The manual-DMA banded contraction (the auto-selected TPU form of
+    the tm periodic step, ops/fir_dma_kernel.py) equals the XLA einsum
+    form on hardware across steps and compactions."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    B, C, n_in = 64, 2, 512  # B*C = 128: the DMA lane-tiling minimum
+    L, M = reduce_ratio(44100, 48000)
+    cfg = fe.FirConfig(channels=C, taps=64, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(64, Attenuation.Db90, 44100 / 48000)
+    coeffs = fe.fir_coefficients(64, Attenuation.Db90, cutoff)
+    s_x = jax.jit(fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=n_in, horizon=3, contraction="xla"))
+    s_d = jax.jit(fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=n_in, horizon=3, contraction="dma"))
+    st_x = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=3)
+    st_d = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=3)
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        ch = jnp.asarray(rng.standard_normal((n_in, B * C)), jnp.float32)
+        nv = jnp.int32(int(rng.integers(1, n_in + 1)))
+        st_x, ox, cx, px = s_x(st_x, ch, nv)
+        st_d, od, cd, pd = s_d(st_d, ch, nv)
+        assert int(cx) == int(cd) and int(px) == int(pd)
+        p = int(px)
+        if p:
+            np.testing.assert_allclose(
+                np.asarray(ox)[:, :p], np.asarray(od)[:, :p], atol=5e-6
+            )
+
+
+def test_farrow_sync_fleet_device_vs_cpu():
+    """The synchronized Farrow tm fleet (the 58x arbitrary-ratio path)
+    computes the same answers on hardware as on CPU — guarding the
+    silent-bf16 class for BOTH of its einsums."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    B, C, n_in = 2, 2, 1024
+    L, M = reduce_ratio(44100, 44101)
+    cfg = fe.FirConfig(channels=C, taps=64, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(64, Attenuation.Db90, 44100 / 44101)
+    coeffs = fe.fir_coefficients(64, Attenuation.Db90, cutoff)
+    step = fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=n_in, horizon=2
+    )
+    rng = np.random.default_rng(6)
+    feeds = [
+        rng.standard_normal((n_in, B * C)).astype(np.float32)
+        for _ in range(3)
+    ]
+
+    def run():
+        st = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=2)
+        stepped = jax.jit(step)
+        outs = []
+        for f in feeds:
+            st, out, _, p = stepped(st, jnp.asarray(f), jnp.int32(n_in))
+            outs.append(np.asarray(out)[:, : int(p)])
+        return outs
+
+    dev = run()
+    with jax.default_device(jax.devices("cpu")[0]):
+        cpu = run()
+    for d, c in zip(dev, cpu):
+        assert d.shape == c.shape
+        np.testing.assert_allclose(d, c, atol=5e-5)
+
+
+def test_wide_schedule_on_device():
+    """The WIDE (two-word uint32) schedule streams identically on the
+    real TPU and against the exact-integer oracle — uint32 wraparound
+    carries are the device-specific risk here."""
+    import jax
+    import jax.numpy as jnp
+
+    from reference_models import ScalarFir
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    in_hz, out_hz = 600011, 600013
+    L, M = reduce_ratio(in_hz, out_hz)
+    cfg = fe.FirConfig(channels=1, taps=32, ratio_num=L, ratio_den=M)
+    assert cfg.wide
+    cutoff = fe.fir_cutoff(32, Attenuation.Db90, in_hz / out_hz)
+    coeffs = fe.fir_coefficients(32, Attenuation.Db90, cutoff)
+    step = jax.jit(fe.make_fir_step(cfg, coeffs))
+    st = fe.fir_init(cfg)
+    oracle = ScalarFir(1, in_hz, out_hz, 32, Attenuation.Db90.kaiser_beta)
+    rng = np.random.default_rng(7)
+    produced = 0
+    for _ in range(3):
+        x = rng.standard_normal(1024).astype(np.float32)
+        st, out, c, p = step(
+            st, jnp.asarray(x[:, None]), jnp.int32(1024),
+            jnp.int32(cfg.out_capacity),
+        )
+        oc, oy = oracle.resample(x, cfg.out_capacity)
+        assert int(c) == oc and int(p) == len(oy)
+        if int(p):
+            produced += int(p)
+            d = np.abs(np.asarray(out)[: int(p), 0] - oy)
+            assert np.median(d) < 5e-5
+            assert d.max() < 5e-2  # clamp bins
+    assert produced > 1500
