@@ -239,7 +239,9 @@ def main():
     rng = np.random.default_rng(0)
     buffer = jnp.asarray(rng.standard_normal((ring, R)), jnp.float32)
 
+    pr("compiling xla form...")
     ref = np.asarray(jax.jit(xla_c)(buffer, jnp.int32(1234), jnp.int32(777)))
+    pr("compiling dma form...")
     got = np.asarray(jax.jit(dma_c)(buffer, jnp.int32(1234), jnp.int32(777)))
     d = np.abs(got - ref).max()
     pr(f"max |dma - xla| = {d:.2e}")

@@ -1153,7 +1153,7 @@ def _sync_atlas(config: FirConfig, coeffs) -> np.ndarray:
     return a2
 
 
-def _farrow_tm_plan(config: FirConfig, coeffs):
+def _farrow_tm_plan(config: FirConfig, coeffs, widen: int = 0):
     """Static precompute for the synchronized-fleet Farrow contraction
     (see ``make_fir_fleet_step_sync_tm``): per-lane schedule splits,
     block geometry, and the positioning atlas ``Ashift2``.
@@ -1188,8 +1188,13 @@ def _farrow_tm_plan(config: FirConfig, coeffs):
     s_pad = np.concatenate([s_np, np.zeros(n_pad - N, np.int64)])
     block_base = j_pad.reshape(K, q)[:, 0]
     j_loc = (j_pad.reshape(K, q) - block_base[:, None]).astype(np.int32)
-    n_jl = int(j_loc.max()) + 2  # +1 wrap carry
+    # widen > 0 (the manual-DMA form): room for the per-block DMA
+    # alignment remainder folded into the local offset, and the block
+    # width rounded up to the 8-row DMA tiling
+    n_jl = int(j_loc.max()) + 2 + widen  # +1 wrap carry
     w_blk = n_jl - 1 + taps
+    if widen:
+        w_blk = -(-w_blk // 8) * 8
 
     A, _ = farrow_matrix(coeffs, degree)  # [d1, taps] f32
     ashift2 = np.zeros((d1 * n_jl, w_blk), np.float32)
@@ -1302,11 +1307,25 @@ def make_fir_fleet_step_sync_tm(
                 "use contraction='xla'"
             )
     else:
-        fp = _farrow_tm_plan(config, coeffs)
+        if contraction == "auto":
+            # manual-DMA form: needs TPU, 128-aligned fleet lanes, and
+            # 8-aligned block heights (heavy-downsample q=1 keeps XLA)
+            contraction = (
+                "dma"
+                if jax.default_backend() == "tpu"
+                and R % 128 == 0
+                and farrow_block_size(L, M) % 8 == 0
+                else "xla"
+            )
+        fp = _farrow_tm_plan(
+            config, coeffs,
+            widen=8 if contraction in ("dma", "dma_interpret") else 0,
+        )
         region_rows = fp["region_rows"]
         j_loc_c = jnp.asarray(fp["j_loc"])  # [K, q]
         s_c = jnp.asarray(fp["s_pad"].astype(np.int32))  # [K, q]
         ashift2_c = jnp.asarray(fp["ashift2"])  # [d1*n_jl, w_blk]
+        block_base_c = jnp.asarray(fp["block_base"].astype(np.int32))
     assert region_rows <= slack, (region_rows, slack)
 
     def _contract_periodic(buffer, start, pos_num):
@@ -1374,17 +1393,7 @@ def make_fir_fleet_step_sync_tm(
         Mi = jnp.int32(M)
         base = pos_num // Mi
         r = pos_num - base * Mi
-
-        region = jax.lax.dynamic_slice(
-            buffer, (start + base, 0), (region_rows, R)
-        )
-        region_blk = jnp.stack(
-            [
-                jax.lax.slice_in_dim(region, int(b), int(b) + w_blk, axis=0)
-                for b in fp["block_base"]
-            ],
-            axis=0,
-        )  # [K, w_blk, R] — static slices, no gather
+        dma = contraction in ("dma", "dma_interpret")
 
         # shared schedule residues -> Chebyshev basis + local offsets
         wrap = (r + s_c >= Mi).astype(jnp.int32)          # [K, q]
@@ -1395,6 +1404,12 @@ def make_fir_fleet_step_sync_tm(
             ts.append(2.0 * u * ts[-1] - ts[-2])
         t_cheb = jnp.stack(ts, axis=-1)                   # [K, q, d1]
         jl = j_loc_c + wrap                               # [K, q] in [0, n_jl)
+        if dma:
+            # fold each block's DMA alignment remainder into the local
+            # offset so the weights come out pre-shifted for ALIGNED
+            # buffer reads (the widen=8 plan reserves the index room)
+            rem = ((start + base + block_base_c) % 8).astype(jnp.int32)
+            jl = jl + rem[:, None]
         onehot = (
             jl[:, :, None] == jnp.arange(n_jl, dtype=jnp.int32)[None, None, :]
         ).astype(jnp.float32)                             # [K, q, n_jl]
@@ -1410,6 +1425,26 @@ def make_fir_fleet_step_sync_tm(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         ).reshape(Kf, q, w_blk)
+
+        if dma:
+            from ..ops.fir_dma_kernel import dma_farrow_contract
+
+            out = dma_farrow_contract(
+                buffer, start + base, a_blk, block_base_c,
+                interpret=(contraction == "dma_interpret"),
+            )  # [K, q, R]
+            return out.reshape(fp["n_pad"], R)[:out_cap]
+
+        region = jax.lax.dynamic_slice(
+            buffer, (start + base, 0), (region_rows, R)
+        )
+        region_blk = jnp.stack(
+            [
+                jax.lax.slice_in_dim(region, int(b), int(b) + w_blk, axis=0)
+                for b in fp["block_base"]
+            ],
+            axis=0,
+        )  # [K, w_blk, R] — static slices, no gather
         out = jnp.einsum(
             "kqw,kwr->kqr", a_blk, region_blk,
             preferred_element_type=jnp.float32,

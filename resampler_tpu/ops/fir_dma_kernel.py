@@ -39,7 +39,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["dma_banded_contract", "build_shifted_atlas"]
+__all__ = [
+    "dma_banded_contract",
+    "dma_farrow_contract",
+    "build_shifted_atlas",
+]
 
 
 def build_shifted_atlas(a, span: int, s_dma: int):
@@ -81,6 +85,92 @@ def _kernel(base_ref, a8_ref, buf_ref, o_ref, seg_ref, sem_ref, *, L, K,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def _farrow_kernel(sc_ref, ablk_ref, buf_ref, o_ref, seg_ref, sem_ref, *,
+                   K, w_dma):
+    """Farrow variant: per-block base offsets come from the scalar-
+    prefetch array (``sc_ref = [base, block_base_0..K-1]``); the weights
+    ``ablk`` arrive PRE-SHIFTED for each block's aligned read (the
+    alignment remainder was folded into the positioning one-hot by the
+    caller), so the kernel is pure DMA + dot."""
+    k = pl.program_id(0)
+    base = sc_ref[0]
+
+    def get_dma(slot, kk):
+        start = base + sc_ref[1 + kk]
+        aligned = (start // 8) * 8
+        return pltpu.make_async_copy(
+            buf_ref.at[pl.ds(aligned, w_dma), :],
+            seg_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(k == 0)
+    def _warm():
+        get_dma(0, 0).start()
+
+    @pl.when(k + 1 < K)
+    def _next():
+        get_dma((k + 1) % 2, k + 1).start()
+
+    get_dma(k % 2, k).wait()
+    o_ref[0] = jax.lax.dot(
+        ablk_ref[0],
+        seg_ref[k % 2],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dma_farrow_contract(buffer, base, a_blk, block_base, *,
+                        interpret: bool = False):
+    """``out[k, l, r] = sum_s a_blk[k, l, s] * buffer[align8(base +
+    block_base[k]) + s, r]`` — the synchronized-Farrow blocked
+    contraction fed straight from the HBM ring buffer.  ``a_blk
+    [K, q, w_dma]`` must be built against each block's ALIGNED read (the
+    engine folds ``(base + block_base_k) % 8`` into the positioning
+    one-hot).  Measured +48% over the XLA region/region_blk form at the
+    44100->44101 bench config (experiments/farrow_dma_probe.py)."""
+    K, q, w_dma = a_blk.shape
+    _, R = buffer.shape
+    kern = functools.partial(_farrow_kernel, K=K, w_dma=w_dma)
+    scalars = jnp.concatenate(
+        [
+            jnp.reshape(jnp.asarray(base, jnp.int32), (1,)),
+            jnp.asarray(block_base, jnp.int32),
+        ]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, q, w_dma), lambda k, b: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, q, R), lambda k, b: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, w_dma, R), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, q, R), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * q * w_dma * R * 6,
+            bytes_accessed=K * w_dma * R * 4 + K * q * R * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scalars, a_blk, buffer)
 
 
 @functools.partial(

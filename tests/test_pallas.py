@@ -116,6 +116,43 @@ def test_tm_dma_contraction_matches_xla():
     assert produced >= 4
 
 
+def test_tm_farrow_dma_contraction_matches_xla():
+    """The Farrow manual-DMA contraction (the TPU production form of the
+    arbitrary-ratio sync fleet; the alignment remainder is folded into
+    the positioning one-hot) equals the XLA form across streaming steps
+    — interpret mode on CPU."""
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import Attenuation, reduce_ratio
+
+    L, M = reduce_ratio(44100, 44101)
+    B, C = 2, 2
+    cfg = fe.FirConfig(channels=C, taps=64, ratio_num=L, ratio_den=M)
+    assert fe.resolve_convolve_path(cfg) == "farrow"
+    cutoff = fe.fir_cutoff(64, Attenuation.Db90, 44100 / 44101)
+    coeffs = fe.fir_coefficients(64, Attenuation.Db90, cutoff)
+    s_x = jax.jit(fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=512, horizon=3, contraction="xla"))
+    s_d = jax.jit(fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=512, horizon=3,
+        contraction="dma_interpret"))
+    st_x = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=512, horizon=3)
+    st_d = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=512, horizon=3)
+    rng = np.random.default_rng(1)
+    produced = 0
+    for _ in range(6):
+        ch = jnp.asarray(rng.standard_normal((512, B * C)), jnp.float32)
+        st_x, ox, cx, px = s_x(st_x, ch, jnp.int32(512))
+        st_d, od, cd, pd = s_d(st_d, ch, jnp.int32(512))
+        assert int(cx) == int(cd) and int(px) == int(pd)
+        p = int(px)
+        if p:
+            produced += 1
+            np.testing.assert_allclose(
+                np.asarray(ox)[:, :p], np.asarray(od)[:, :p], atol=1e-5
+            )
+    assert produced >= 4
+
+
 def test_split_hi_lo_survives_jit():
     """Regression: XLA's excess-precision simplification turns the naive
     ``a - bf16(a).astype(f32)`` into literal zero under jit; split_hi_lo
