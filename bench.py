@@ -301,11 +301,14 @@ def farrow_device_attestation():
 
 
 def farrow_sync_device_attestation():
-    """Device-vs-CPU check for the BENCHED synchronized Farrow tm fleet
-    (a different formulation from the per-stream farrow convolve: shared
-    positioning matmul + blocked contraction — both einsums must stay at
-    HIGHEST on device).  Returns max |device - cpu| over produced lanes
-    of two steps at the bench pair."""
+    """Device-vs-CPU check for the synchronized Farrow tm fleet's XLA
+    form (B=2 keeps it cheap: a DMA-width fleet here costs ~25 min of
+    tunnel compile, measured and rejected).  The benched DMA form's
+    equivalence to this XLA form is hardware-tested in
+    tests_tpu::test_farrow_dma_contraction_on_device and its kernel
+    machinery is attested in-run by ``fir_dma_attestation`` — chained
+    coverage.  Returns max |device - cpu| over produced lanes of two
+    steps at the bench pair."""
     import jax
     import jax.numpy as jnp
 
@@ -324,7 +327,7 @@ def farrow_sync_device_attestation():
         Latency.Sample64.taps, Attenuation.Db90, cutoff
     )
     step = fir_engine.make_fir_fleet_step_sync_tm(
-        cfg, coeffs, B, max_chunk=2048, horizon=2
+        cfg, coeffs, B, max_chunk=2048, horizon=2, contraction="xla"
     )
     rng = np.random.default_rng(3)
     feeds = [
@@ -349,6 +352,61 @@ def farrow_sync_device_attestation():
     return max(
         float(np.abs(d - r).max()) for d, r in zip(dev, ref)
     )
+
+
+def fir_dma_attestation():
+    """The HEADLINE path's manual-DMA periodic contraction vs the XLA
+    einsum form, in-run on the bench device (both at B*C = 128): a
+    regression in the DMA kernel's addressing or weights would show here
+    before the throughput number could ship.  Returns max |dma - xla|
+    over produced lanes of two steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fir_engine
+    from resampler_tpu.types import Attenuation, Latency, reduce_ratio
+
+    L, M = reduce_ratio(44100, 48000)
+    B, C = 64, 2
+    cfg = fir_engine.FirConfig(
+        channels=C, taps=Latency.Sample64.taps, ratio_num=L, ratio_den=M
+    )
+    cutoff = fir_engine.fir_cutoff(
+        Latency.Sample64.taps, Attenuation.Db90, 44100 / 48000
+    )
+    coeffs = fir_engine.fir_coefficients(
+        Latency.Sample64.taps, Attenuation.Db90, cutoff
+    )
+    rng = np.random.default_rng(4)
+    feeds = [
+        jnp.asarray(rng.standard_normal((1024, B * C)), jnp.float32)
+        for _ in range(2)
+    ]
+
+    def run(contraction):
+        step = fir_engine.make_fir_fleet_step_sync_tm(
+            cfg, coeffs, B, max_chunk=1024, horizon=2,
+            contraction=contraction,
+        )
+        st = fir_engine.fir_fleet_init_sync_tm(
+            cfg, B, max_chunk=1024, horizon=2
+        )
+        stepped = jax.jit(step)
+        outs = []
+        for f in feeds:
+            st, out, _, p = stepped(st, f, jnp.int32(1024))
+            outs.append(np.asarray(out)[:, : int(p)])
+        return outs
+
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        a = run("xla")
+        b = run("dma_interpret")
+    else:
+        a = run("xla")
+        b = run("dma")
+    return max(float(np.abs(x - y).max()) for x, y in zip(a, b))
 
 
 def quality_attestation():
@@ -406,6 +464,7 @@ def main():
     fir_alias_db, fft_stopband_db = quality_attestation()
     farrow_dev_err = farrow_device_attestation()
     farrow_sync_dev_err = farrow_sync_device_attestation()
+    fir_dma_err = fir_dma_attestation()
     fft_pair_floor_db = fft_bench_pair_attestation()
     result = {
         "metric": "Msamples/sec/chip stereo 44.1->48k FIR (Sample64, Db90, batched streams)",
@@ -437,12 +496,14 @@ def main():
             "fft_stopband_db": round(fft_stopband_db, 1),
             "farrow_device_err": float(f"{farrow_dev_err:.2e}"),
             "farrow_sync_device_err": float(f"{farrow_sync_dev_err:.2e}"),
+            "fir_dma_vs_xla_err": float(f"{fir_dma_err:.2e}"),
             "fft_bench_pair_floor_db": round(fft_pair_floor_db, 1),
             "quality_ok": bool(
                 fir_alias_db >= 100.0
                 and fft_stopband_db >= 99.0
                 and farrow_dev_err < 5e-5
                 and farrow_sync_dev_err < 5e-5
+                and fir_dma_err < 5e-5
                 and fft_pair_floor_db >= 99.0
             ),
             "reference": "hasenbanck/resampler on AMD Ryzen 9 9950X3D (BASELINE.md)",
