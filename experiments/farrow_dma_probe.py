@@ -201,7 +201,7 @@ def make_dma(cfg, fp, R):
             in_specs=[
                 pl.BlockSpec((1, q, w_dma), lambda k, b: (k, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, q, R), lambda k, b: (k, 0, 0),
                                    memory_space=pltpu.VMEM),

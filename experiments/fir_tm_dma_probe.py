@@ -122,7 +122,7 @@ def dma_contract(buffer, base, a_pad, *, K, R):
         in_specs=[
             pl.BlockSpec((8, M, S_DMA), lambda k, b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, M, R), lambda k, b: (k, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -148,7 +148,7 @@ def dma_farrow_contract(buffer, base, a_blk, block_base, *,
         in_specs=[
             pl.BlockSpec((1, q, w_dma), lambda k, b: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, q, R), lambda k, b: (k, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -197,7 +197,7 @@ def dma_banded_contract(
         in_specs=[
             pl.BlockSpec((8, M, s_dma), lambda k, b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, M, R), lambda k, b: (k, 0, 0),
                                memory_space=pltpu.VMEM),
