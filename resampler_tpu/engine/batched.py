@@ -83,11 +83,11 @@ class BatchedResamplerFir:
             tm_step = fir_engine.make_fir_fleet_step_sync_tm(
                 self._config, coeffs, n_streams,
                 max_chunk=max_chunk, horizon=horizon,
-                # GSPMD cannot auto-partition a pallas_call: the manual-
-                # DMA contraction stays single-chip; mesh-sharded fleets
-                # keep the XLA einsum form (shards fine, ~12% slower
-                # contraction)
-                contraction="xla" if mesh is not None else "auto",
+                # GSPMD cannot auto-partition a pallas_call, so under a
+                # mesh the manual-DMA contraction runs per-shard via
+                # shard_map (lane-sharded ring, replicated scalars);
+                # the 128-lane Mosaic gate applies per shard.
+                mesh=mesh,
             )
             B, C = n_streams, channels
 
@@ -171,7 +171,7 @@ class BatchedResamplerFir:
         into the next request to track steady negative drift); returns
         the applied slew in input samples (scalar or ``[n_streams]``)."""
         M = self._config.ratio_den
-        pos = np.asarray(self._state["pos_num"], np.int64)
+        wide = self._config.wide
         if self.synchronized:
             if np.ndim(samples) != 0:
                 raise ValueError(
@@ -182,20 +182,54 @@ class BatchedResamplerFir:
             samples = np.broadcast_to(
                 np.asarray(samples, np.float64), (self.n_streams,)
             )
-        delta = np.round(np.asarray(samples, np.float64) * M).astype(np.int64)
+        if wide:
+            # wide schedules carry position as (hi, lo) uint32 words whose
+            # combined value exceeds int64 for extreme ratios — do the
+            # bookkeeping in exact Python ints (host control plane)
+            hi = np.atleast_1d(np.asarray(self._state["pos_hi"], np.uint32))
+            lo = np.atleast_1d(np.asarray(self._state["pos_lo"], np.uint32))
+            pos = np.asarray(
+                [int(h) * M + int(l) for h, l in zip(hi, lo)], object
+            )
+            if self.synchronized:
+                pos = pos.reshape(())
+        else:
+            pos = np.asarray(self._state["pos_num"], np.int64)
+        delta_f = np.round(np.asarray(samples, np.float64) * M)
+        delta = (
+            np.asarray([int(d) for d in np.atleast_1d(delta_f)], object)
+            .reshape(delta_f.shape)
+            if wide
+            else delta_f.astype(np.int64)
+        )
         ceiling = self._config.input_capacity * M
         applied = np.clip(delta, -pos, ceiling - pos)
-        if np.any(applied):
-            new_pos = jnp.asarray((pos + applied).astype(np.int32))
-            if pos.ndim == 0:
-                new_pos = new_pos.reshape(())
-            state = dict(self._state, pos_num=new_pos)
+        if np.any(applied != 0):
+            new_pos = pos + applied
+            if wide:
+                flat = np.atleast_1d(new_pos)
+                nh = jnp.asarray(
+                    np.asarray([n // M for n in flat], np.uint32)
+                )
+                nl = jnp.asarray(
+                    np.asarray([n % M for n in flat], np.uint32)
+                )
+                if np.ndim(new_pos) == 0:
+                    nh, nl = nh.reshape(()), nl.reshape(())
+                state = dict(self._state, pos_hi=nh, pos_lo=nl)
+            else:
+                np32 = jnp.asarray(new_pos.astype(np.int32))
+                if np.ndim(pos) == 0:
+                    np32 = np32.reshape(())
+                state = dict(self._state, pos_num=np32)
             self._state = (
                 self._place(state, self._mesh)
                 if self._mesh is not None
                 else state
             )
-        return applied / M
+        return (
+            np.asarray(applied / M, np.float64) if wide else applied / M
+        )
 
     def resample(self, chunks: np.ndarray, n_valid=None):
         """Step all streams.

@@ -1184,6 +1184,12 @@ def _farrow_tm_plan(config: FirConfig, coeffs, widen: int = 0):
     i = np.arange(N, dtype=np.int64)
     j_np = ((i * L_) // M_).astype(np.int64)
     s_np = ((i * L_) % M_).astype(np.int64)
+    if config.wide:
+        # same clamp as _convolve_farrow: lanes whose static row offset
+        # exceeds the buffer can never be emitted (offset + taps <= avail
+        # fails), so clamping keeps the region geometry bounded for any
+        # u32 ratio while the masked lanes read harmless garbage
+        j_np = np.minimum(j_np, config.input_capacity + 2)
     j_pad = np.concatenate([j_np, np.full(n_pad - N, j_np[-1], np.int64)])
     s_pad = np.concatenate([s_np, np.zeros(n_pad - N, np.int64)])
     block_base = j_pad.reshape(K, q)[:, 0]
@@ -1220,6 +1226,7 @@ def make_fir_fleet_step_sync_tm(
     precision=jax.lax.Precision.HIGHEST,
     path: str = "auto",
     contraction: str = "auto",
+    mesh=None,
 ):
     """TIME-MAJOR synchronized-fleet step — the fastest measured serving
     path (v5e-1 headline config: **11.6 Gsamples/s = 84.5x reference**,
@@ -1265,6 +1272,12 @@ def make_fir_fleet_step_sync_tm(
             f"synchronized tm fleet step supports the periodic and farrow "
             f"convolve paths, not {path!r}"
         )
+    wide = config.wide
+    if wide and path != "farrow":
+        raise ValueError(
+            f"ratios beyond the int32 schedule envelope use the farrow "
+            f"path (wide uint32 scheduling), not {path!r}"
+        )
     L = config.ratio_num
     M = config.ratio_den
     taps = config.taps
@@ -1275,6 +1288,23 @@ def make_fir_fleet_step_sync_tm(
     out_cap = config.out_capacity
     slack = config.read_slack
     ring = -(-(cap + slack + horizon * max_chunk) // 256) * 256
+    # GSPMD cannot auto-partition a pallas_call, but the contraction is
+    # lane-parallel — under a mesh it runs per-shard via shard_map (the
+    # same pattern as the magsplit fleet), so mesh-sharded fleets keep
+    # the manual-DMA kernels.  The Mosaic lane-width gate then applies
+    # to the PER-SHARD lane count.
+    if mesh is not None:
+        from ..parallel.sharding import STREAM_AXIS
+
+        n_shards = mesh.shape[STREAM_AXIS]
+        if R % n_shards:
+            raise ValueError(
+                f"fleet lanes B*C ({R}) must divide over the mesh's "
+                f"{STREAM_AXIS} axis ({n_shards})"
+            )
+        r_gate = R // n_shards
+    else:
+        r_gate = R
 
     if path == "periodic":
         span = L + taps + 1
@@ -1290,30 +1320,30 @@ def make_fir_fleet_step_sync_tm(
         l_inv = pow(L, -1, M) if M > 1 else 0
         if contraction == "auto":
             # Mosaic DMA lane widths must be 128-aligned, so small fleets
-            # (B*C < 128) keep the XLA form.
+            # (per-shard lanes < 128) keep the XLA form.
             contraction = (
                 "dma"
                 if jax.default_backend() == "tpu"
                 and precision == jax.lax.Precision.HIGHEST
-                and R % 128 == 0
+                and r_gate % 128 == 0
                 else "xla"
             )
-        if contraction == "dma" and R % 128 != 0:
+        if contraction == "dma" and r_gate % 128 != 0:
             # (interpret mode has no tiling constraint and stays usable
             # for small-fleet CPU differentials)
             raise ValueError(
-                f"the manual-DMA contraction needs the fleet lane count "
-                f"B*C ({R}) to be a multiple of 128 (Mosaic DMA tiling); "
-                "use contraction='xla'"
+                f"the manual-DMA contraction needs the per-shard fleet "
+                f"lane count ({r_gate}) to be a multiple of 128 (Mosaic "
+                "DMA tiling); use contraction='xla'"
             )
     else:
         if contraction == "auto":
-            # manual-DMA form: needs TPU, 128-aligned fleet lanes, and
-            # 8-aligned block heights (heavy-downsample q=1 keeps XLA)
+            # manual-DMA form: needs TPU, 128-aligned per-shard lanes,
+            # and 8-aligned block heights (heavy-downsample q=1 keeps XLA)
             contraction = (
                 "dma"
                 if jax.default_backend() == "tpu"
-                and R % 128 == 0
+                and r_gate % 128 == 0
                 and farrow_block_size(L, M) % 8 == 0
                 else "xla"
             )
@@ -1323,12 +1353,33 @@ def make_fir_fleet_step_sync_tm(
         )
         region_rows = fp["region_rows"]
         j_loc_c = jnp.asarray(fp["j_loc"])  # [K, q]
-        s_c = jnp.asarray(fp["s_pad"].astype(np.int32))  # [K, q]
+        s_c = jnp.asarray(
+            fp["s_pad"].astype(np.uint32 if wide else np.int32)
+        )  # [K, q]
         ashift2_c = jnp.asarray(fp["ashift2"])  # [d1*n_jl, w_blk]
         block_base_c = jnp.asarray(fp["block_base"].astype(np.int32))
     assert region_rows <= slack, (region_rows, slack)
 
-    def _contract_periodic(buffer, start, pos_num):
+    if wide:
+        # WIDE schedule (any nonzero u32 rate pair): the shared position
+        # is (pos_hi frames, pos_lo subframe numerator), both uint32 —
+        # same bookkeeping as _make_wide_step, shared fleet-wide.
+        i_l = np.arange(out_cap, dtype=np.int64)
+        j_lane_c = jnp.asarray(
+            np.minimum((i_l * L) // M, cap + 2).astype(np.uint32)
+        )
+        s_lane_c = jnp.asarray(((i_l * L) % M).astype(np.uint32))
+        n_l = np.arange(out_cap + 1, dtype=np.int64)
+        nl_hi_c = jnp.asarray(
+            np.minimum((n_l * L) // M, (1 << 32) - 1).astype(np.uint32)
+        )
+        nl_lo_c = jnp.asarray(((n_l * L) % M).astype(np.uint32))
+        M_u = jnp.uint32(M)
+        taps_u = jnp.uint32(taps)
+        u32_max = jnp.uint32((1 << 32) - 1)
+
+    def _contract_periodic(buffer, start, pos_num, avail):
+        r_loc = buffer.shape[1]  # local lanes (R, or R/n under shard_map)
         d_min = pos_num // jnp.int32(M)
         r = pos_num - d_min * jnp.int32(M)
         i0 = (r * jnp.int32(l_inv)) % jnp.int32(M)
@@ -1342,14 +1393,14 @@ def make_fir_fleet_step_sync_tm(
                 buffer, base, a, L=L, M=M, span=span, K=K,
                 interpret=(contraction == "dma_interpret"),
             )  # [K, M, R]
-            return out.reshape(K * M, R)[:out_cap]
+            return out.reshape(K * M, r_loc)[:out_cap]
         a_pad = jnp.pad(a, ((0, 0), (0, s_len - span)))
 
         # ---- ONE fat fleet-wide matmul ----
         region = jax.lax.dynamic_slice(
-            buffer, (base, 0), (region_rows, R)
+            buffer, (base, 0), (region_rows, r_loc)
         )
-        blocks = region.reshape(K + n_blk, L, R)  # major-axis split
+        blocks = region.reshape(K + n_blk, L, r_loc)  # major-axis split
         segs = jnp.concatenate(
             [blocks[bb : bb + K] for bb in range(n_blk)], axis=1
         )  # [K, s_len, R]
@@ -1385,19 +1436,33 @@ def make_fir_fleet_step_sync_tm(
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )  # [K, M, R]
-        return out.reshape(K * M, R)[:out_cap]
+        return out.reshape(K * M, r_loc)[:out_cap]
 
-    def _contract_farrow(buffer, start, pos_num):
+    def _contract_farrow(buffer, start, pos, avail):
+        r_loc = buffer.shape[1]  # local lanes (R, or R/n under shard_map)
         q, Kf = fp["q"], fp["K"]
         n_jl, w_blk, d1 = fp["n_jl"], fp["w_blk"], fp["d1"]
-        Mi = jnp.int32(M)
-        base = pos_num // Mi
-        r = pos_num - base * Mi
         dma = contraction in ("dma", "dma_interpret")
 
         # shared schedule residues -> Chebyshev basis + local offsets
-        wrap = (r + s_c >= Mi).astype(jnp.int32)          # [K, q]
-        frac = (r + s_c - Mi * wrap).astype(jnp.float32) / jnp.float32(M)
+        if wide:
+            # pos = (pos_hi frames, pos_lo subframe numerator), both u32;
+            # residue arithmetic exact mod 2^32 (see _convolve_farrow)
+            pos_hi, pos_lo = pos
+            base = jnp.minimum(
+                pos_hi, jnp.asarray(avail, jnp.uint32)
+            ).astype(jnp.int32)
+            t = pos_lo + s_c                              # [K, q] u32
+            wrap_b = (t < pos_lo) | (t >= M_u)
+            rem = jnp.where(wrap_b, t - M_u, t)
+            wrap = wrap_b.astype(jnp.int32)
+            frac = rem.astype(jnp.float32) / np.float32(M)
+        else:
+            Mi = jnp.int32(M)
+            base = pos // Mi
+            r = pos - base * Mi
+            wrap = (r + s_c >= Mi).astype(jnp.int32)      # [K, q]
+            frac = (r + s_c - Mi * wrap).astype(jnp.float32) / jnp.float32(M)
         u = 2.0 * frac - 1.0
         ts = [jnp.ones_like(u), u]
         for _ in range(d1 - 2):
@@ -1433,10 +1498,10 @@ def make_fir_fleet_step_sync_tm(
                 buffer, start + base, a_blk, block_base_c,
                 interpret=(contraction == "dma_interpret"),
             )  # [K, q, R]
-            return out.reshape(fp["n_pad"], R)[:out_cap]
+            return out.reshape(fp["n_pad"], r_loc)[:out_cap]
 
         region = jax.lax.dynamic_slice(
-            buffer, (start + base, 0), (region_rows, R)
+            buffer, (start + base, 0), (region_rows, r_loc)
         )
         region_blk = jnp.stack(
             [
@@ -1450,9 +1515,26 @@ def make_fir_fleet_step_sync_tm(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # [K, q, R]
-        return out.reshape(fp["n_pad"], R)[:out_cap]
+        return out.reshape(fp["n_pad"], r_loc)[:out_cap]
 
     _contract = _contract_periodic if path == "periodic" else _contract_farrow
+    if mesh is not None and contraction in ("dma", "dma_interpret"):
+        # per-shard manual-DMA contraction: the ring buffer is lane-
+        # sharded [ring, R/n] per device, schedule scalars replicated;
+        # no collective traffic (streams are independent).
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.sharding import STREAM_AXIS
+
+        lane_spec = P(None, STREAM_AXIS)
+        scalar = P()
+        _contract = jax.shard_map(
+            _contract,
+            mesh=mesh,
+            in_specs=(lane_spec, scalar, scalar, scalar),
+            out_specs=lane_spec,
+            check_vma=False,  # pallas_call out_shape carries no vma
+        )
 
     def step(state: FirState, chunks_tm, n_valid):
         chunks_tm = chunks_tm.astype(jnp.float32)
@@ -1463,7 +1545,9 @@ def make_fir_fleet_step_sync_tm(
         buffer = state["buffer"]
         start = state["start"]
         fill = state["fill"]
-        pos_num = state["pos_num"]
+        pos = (
+            (state["pos_hi"], state["pos_lo"]) if wide else state["pos_num"]
+        )
         avail = fill - start
 
         # ---- append (in-place KV-cache DUS) ----
@@ -1477,19 +1561,50 @@ def make_fir_fleet_step_sync_tm(
         avail = avail + to_copy
 
         # ---- shared schedule ----
-        n_out = _compute_n_out(config, pos_num, avail, jnp.int32(out_cap))
+        if wide:
+            # emission mask from static split tables (see _make_wide_step)
+            pos_hi, pos_lo = pos
+            avail_u = jnp.asarray(avail, jnp.uint32)
+            t = pos_lo + s_lane_c
+            wrap_l = ((t < pos_lo) | (t >= M_u)).astype(jnp.uint32)
+            o1 = pos_hi + j_lane_c
+            o2 = o1 + wrap_l + taps_u
+            emit = (o1 >= pos_hi) & (o2 >= o1) & (o2 <= avail_u)
+            n_out = jnp.minimum(
+                jnp.sum(emit.astype(jnp.int32)), jnp.int32(out_cap)
+            ).astype(jnp.int32)
+        else:
+            n_out = _compute_n_out(config, pos, avail, jnp.int32(out_cap))
 
         # ---- fleet-wide contraction ----
-        out = _contract(buffer, start, pos_num)  # [out_cap, R]
+        out = _contract(buffer, start, pos, avail)  # [out_cap, R]
         lane = jnp.arange(out_cap, dtype=jnp.int32)
         out = jnp.where((lane < n_out)[:, None], out, 0.0)
         out = jnp.transpose(out.reshape(out_cap, B, C), (1, 0, 2))
 
         # ---- consume: advance start, no data movement ----
-        pos_after = pos_num + n_out * jnp.int32(L)
-        consumed = jnp.minimum(pos_after // jnp.int32(M), avail)
-        start = start + consumed
-        pos_num = pos_after - consumed * jnp.int32(M)
+        if wide:
+            # static (hi, lo) stride tables with wraparound-aware carries
+            d_hi = jnp.take(nl_hi_c, n_out)
+            d_lo = jnp.take(nl_lo_c, n_out)
+            t2 = pos_lo + d_lo
+            carry = (t2 < pos_lo) | (t2 >= M_u)
+            lo_after = jnp.where(carry, t2 - M_u, t2)
+            hi_raw = pos_hi + d_hi + carry.astype(jnp.uint32)
+            hi_after = jnp.where(hi_raw < pos_hi, u32_max, hi_raw)  # sat
+            consumed = jnp.minimum(
+                hi_after, jnp.asarray(avail, jnp.uint32)
+            ).astype(jnp.int32)
+            start = start + consumed
+            pos_state = dict(
+                pos_hi=hi_after - jnp.asarray(consumed, jnp.uint32),
+                pos_lo=lo_after,
+            )
+        else:
+            pos_after = pos + n_out * jnp.int32(L)
+            consumed = jnp.minimum(pos_after // jnp.int32(M), avail)
+            start = start + consumed
+            pos_state = dict(pos_num=pos_after - consumed * jnp.int32(M))
 
         # ---- amortized compaction ----
         def compact(args):
@@ -1509,7 +1624,7 @@ def make_fir_fleet_step_sync_tm(
         )
 
         new_state = FirState(
-            buffer=buffer, start=start, fill=fill, pos_num=pos_num
+            buffer=buffer, start=start, fill=fill, **pos_state
         )
         return new_state, out, to_copy, n_out
 
@@ -1523,14 +1638,19 @@ def fir_fleet_init_sync_tm(
         -(config.input_capacity + config.read_slack + horizon * max_chunk)
         // 256
     ) * 256
-    return FirState(
+    state = FirState(
         buffer=jnp.zeros(
             (ring, n_streams * config.channels), jnp.float32
         ),
         start=jnp.zeros((), jnp.int32),
         fill=jnp.zeros((), jnp.int32),
-        pos_num=jnp.zeros((), jnp.int32),
     )
+    if config.wide:
+        state["pos_hi"] = jnp.zeros((), jnp.uint32)
+        state["pos_lo"] = jnp.zeros((), jnp.uint32)
+    else:
+        state["pos_num"] = jnp.zeros((), jnp.int32)
+    return state
 
 
 # --------------------------------------------------------------------------

@@ -224,6 +224,36 @@ def test_synchronized_fleet_matches_vmapped():
         )
 
 
+def test_wide_pair_synchronized_fleet_and_slew():
+    """u32 pairs beyond the int32 envelope run on BOTH fleet tiers — the
+    general vmapped fleet and the synchronized tm fleet — with matching
+    bookkeeping/outputs, and slew operates on the wide (hi, lo) uint32
+    position at both tiers."""
+    B, C = 2, 1
+    rng = np.random.default_rng(9)
+    plain = BatchedResamplerFir(B, C, 600011, 600013, Latency.Sample32,
+                                Attenuation.Db90)
+    sync = BatchedResamplerFir(B, C, 600011, 600013, Latency.Sample32,
+                               Attenuation.Db90, synchronized=True)
+    assert plain.config.wide and sync.config.wide
+    for _ in range(3):
+        chunks = rng.standard_normal((B, 512, C)).astype(np.float32)
+        out_a, cons_a, prod_a, _ = plain.resample(chunks)
+        out_b, cons_b, prod_b, _ = sync.resample(chunks)
+        np.testing.assert_array_equal(np.asarray(cons_a), np.asarray(cons_b))
+        np.testing.assert_array_equal(np.asarray(prod_a), np.asarray(prod_b))
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), atol=1e-5
+        )
+    # wide slew: per-stream vector on the vmapped fleet...
+    applied = plain.slew(np.array([0.25, -0.25]))
+    assert applied.shape == (2,)
+    assert abs(applied[0] - 0.25) < 2e-6
+    assert -0.2500001 <= applied[1] <= 0.0  # negative bounded by history
+    # ...scalar on the synchronized fleet
+    assert abs(float(sync.slew(0.5)) - 0.5) < 2e-6
+
+
 def test_fleet_slew_tracks_per_stream_clock_drift():
     """Per-stream slew on the vmapped fleet: each stream's producer
     drifts by a different ppm; slewing each stream by its own drift

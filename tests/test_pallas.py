@@ -153,6 +153,48 @@ def test_tm_farrow_dma_contraction_matches_xla():
     assert produced >= 4
 
 
+def test_tm_dma_contraction_mesh_sharded():
+    """Mesh-sharded tm fleets keep the manual-DMA contraction: GSPMD has
+    no partitioning rule for pallas_call, so the step wraps the lane-
+    parallel contraction in shard_map (lane-sharded ring, replicated
+    schedule scalars).  8-device CPU mesh, interpret-mode kernel,
+    against the unsharded XLA form."""
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.parallel.sharding import shard_lanes, stream_mesh
+    from resampler_tpu.types import Attenuation, reduce_ratio
+
+    L, M = reduce_ratio(44100, 48000)
+    B, C = 8, 2
+    mesh = stream_mesh()
+    assert mesh.size == 8
+    cfg = fe.FirConfig(channels=C, taps=32, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(32, Attenuation.Db90, 44100 / 48000)
+    coeffs = fe.fir_coefficients(32, Attenuation.Db90, cutoff)
+    s_x = jax.jit(fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=512, horizon=3, contraction="xla"))
+    s_d = jax.jit(fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=512, horizon=3,
+        contraction="dma_interpret", mesh=mesh))
+    st_x = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=512, horizon=3)
+    st_d = shard_lanes(
+        fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=512, horizon=3), mesh
+    )
+    rng = np.random.default_rng(2)
+    produced = 0
+    for _ in range(5):
+        ch = jnp.asarray(rng.standard_normal((512, B * C)), jnp.float32)
+        st_x, ox, cx, px = s_x(st_x, ch, jnp.int32(512))
+        st_d, od, cd, pd = s_d(st_d, ch, jnp.int32(512))
+        assert int(cx) == int(cd) and int(px) == int(pd)
+        p = int(px)
+        if p:
+            produced += 1
+            np.testing.assert_allclose(
+                np.asarray(ox)[:, :p], np.asarray(od)[:, :p], atol=1e-5
+            )
+    assert produced >= 3
+
+
 def test_split_hi_lo_survives_jit():
     """Regression: XLA's excess-precision simplification turns the naive
     ``a - bf16(a).astype(f32)`` into literal zero under jit; split_hi_lo

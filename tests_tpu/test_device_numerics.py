@@ -379,6 +379,50 @@ def test_farrow_sync_fleet_device_vs_cpu():
         np.testing.assert_allclose(d, c, atol=5e-5)
 
 
+def test_wide_sync_tm_fleet_on_device():
+    """WIDE pairs on the synchronized tm fleet, on hardware, at a fleet
+    width (B*C = 128) that engages the manual-DMA farrow contraction —
+    uint32 wraparound carries + the DMA alignment fold are the
+    device-specific risks.  Differential vs the XLA-contraction CPU run."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    B, C, n_in = 64, 2, 1024
+    L, M = reduce_ratio(600011, 600013)
+    cfg = fe.FirConfig(channels=C, taps=32, ratio_num=L, ratio_den=M)
+    assert cfg.wide
+    assert fe.farrow_block_size(L, M) % 8 == 0  # dma-eligible geometry
+    cutoff = fe.fir_cutoff(32, Attenuation.Db90, 600011 / 600013)
+    coeffs = fe.fir_coefficients(32, Attenuation.Db90, cutoff)
+    rng = np.random.default_rng(11)
+    feeds = [
+        rng.standard_normal((n_in, B * C)).astype(np.float32)
+        for _ in range(3)
+    ]
+
+    def run(contraction):
+        step = jax.jit(fe.make_fir_fleet_step_sync_tm(
+            cfg, coeffs, B, max_chunk=n_in, horizon=2,
+            contraction=contraction,
+        ))
+        st = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=2)
+        outs = []
+        for f in feeds:
+            st, out, _, p = step(st, jnp.asarray(f), jnp.int32(n_in))
+            outs.append(np.asarray(out)[:, : int(p)])
+        return outs
+
+    dev = run("auto")  # resolves to the manual-DMA contraction on TPU
+    with jax.default_device(jax.devices("cpu")[0]):
+        cpu = run("xla")
+    for d, c in zip(dev, cpu):
+        assert d.shape == c.shape and d.shape[1] > 0
+        np.testing.assert_allclose(d, c, atol=5e-5)
+
+
 def test_wide_schedule_on_device():
     """The WIDE (two-word uint32) schedule streams identically on the
     real TPU and against the exact-integer oracle — uint32 wraparound
