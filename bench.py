@@ -354,6 +354,60 @@ def farrow_sync_device_attestation():
     )
 
 
+def wide_sync_device_attestation():
+    """Device-vs-CPU check for the WIDE (two-word uint32 schedule)
+    synchronized tm fleet at the benched wide pair — uint32 wraparound
+    carries and the shared emission-mask schedule are the device-specific
+    risks (the DMA form's hardware equivalence is covered by
+    tests_tpu::test_wide_sync_tm_fleet_on_device; chained coverage as
+    for the farrow sync attestation).  Returns max |device - cpu| over
+    produced lanes of two steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fir_engine
+    from resampler_tpu.types import Attenuation, Latency, reduce_ratio
+
+    L, M = reduce_ratio(600011, 600013)
+    B, C = 2, 2
+    cfg = fir_engine.FirConfig(
+        channels=C, taps=Latency.Sample64.taps, ratio_num=L, ratio_den=M
+    )
+    assert cfg.wide
+    cutoff = fir_engine.fir_cutoff(
+        Latency.Sample64.taps, Attenuation.Db90, 600011 / 600013
+    )
+    coeffs = fir_engine.fir_coefficients(
+        Latency.Sample64.taps, Attenuation.Db90, cutoff
+    )
+    step = fir_engine.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=2048, horizon=2, contraction="xla"
+    )
+    rng = np.random.default_rng(5)
+    feeds = [
+        jnp.asarray(rng.standard_normal((2048, B * C)), jnp.float32)
+        for _ in range(2)
+    ]
+
+    def run():
+        st = fir_engine.fir_fleet_init_sync_tm(
+            cfg, B, max_chunk=2048, horizon=2
+        )
+        stepped = jax.jit(step)
+        outs = []
+        for f in feeds:
+            st, out, _, p = stepped(st, f, jnp.int32(2048))
+            outs.append(np.asarray(out)[:, : int(p)])
+        return outs
+
+    dev = run()
+    with jax.default_device(jax.devices("cpu")[0]):
+        ref = run()
+    return max(
+        float(np.abs(d - r).max()) for d, r in zip(dev, ref)
+    )
+
+
 def fir_dma_attestation():
     """The HEADLINE path's manual-DMA periodic contraction vs the XLA
     einsum form, in-run on the bench device (both at B*C = 128): a
@@ -459,11 +513,16 @@ def main():
     # samples are intrinsically scarce at this ratio, so the input-side
     # rate is recorded alongside.
     fir_heavy_msps = bench_fir(in_hz=367500, out_hz=1601)
+    # WIDE pair (beyond the int32 schedule envelope, coprime u32 rates):
+    # the same synchronized tm Farrow fleet under the two-word uint32
+    # schedule — reference-parity capability at fleet throughput.
+    fir_wide_msps = bench_fir(in_hz=600011, out_hz=600013)
     fir_arb_msps = bench_fir_arbitrary("farrow")
     fir_gather_msps = bench_fir_arbitrary("gather", n_streams=64)
     fir_alias_db, fft_stopband_db = quality_attestation()
     farrow_dev_err = farrow_device_attestation()
     farrow_sync_dev_err = farrow_sync_device_attestation()
+    wide_sync_dev_err = wide_sync_device_attestation()
     fir_dma_err = fir_dma_attestation()
     fft_pair_floor_db = fft_bench_pair_attestation()
     result = {
@@ -479,6 +538,10 @@ def main():
             "fir_arbitrary_sync_msamples_per_s": round(fir_arb_sync_msps, 1),
             "fir_arbitrary_sync_vs_reference": round(
                 fir_arb_sync_msps / FIR_BASELINE_MSPS, 2
+            ),
+            "fir_wide_sync_msamples_per_s": round(fir_wide_msps, 1),
+            "fir_wide_sync_vs_reference": round(
+                fir_wide_msps / FIR_BASELINE_MSPS, 2
             ),
             "fir_arbitrary_msamples_per_s": round(fir_arb_msps, 1),
             "fir_arbitrary_vs_reference": round(
@@ -496,6 +559,7 @@ def main():
             "fft_stopband_db": round(fft_stopband_db, 1),
             "farrow_device_err": float(f"{farrow_dev_err:.2e}"),
             "farrow_sync_device_err": float(f"{farrow_sync_dev_err:.2e}"),
+            "wide_sync_device_err": float(f"{wide_sync_dev_err:.2e}"),
             "fir_dma_vs_xla_err": float(f"{fir_dma_err:.2e}"),
             "fft_bench_pair_floor_db": round(fft_pair_floor_db, 1),
             "quality_ok": bool(
@@ -503,6 +567,7 @@ def main():
                 and fft_stopband_db >= 99.0
                 and farrow_dev_err < 5e-5
                 and farrow_sync_dev_err < 5e-5
+                and wide_sync_dev_err < 5e-5
                 and fir_dma_err < 5e-5
                 and fft_pair_floor_db >= 99.0
             ),

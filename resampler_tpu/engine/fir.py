@@ -1227,6 +1227,7 @@ def make_fir_fleet_step_sync_tm(
     path: str = "auto",
     contraction: str = "auto",
     mesh=None,
+    out_layout: str = "bm",
 ):
     """TIME-MAJOR synchronized-fleet step — the fastest measured serving
     path (v5e-1 headline config: **11.6 Gsamples/s = 84.5x reference**,
@@ -1265,6 +1266,16 @@ def make_fir_fleet_step_sync_tm(
     Stale data beyond ``fill`` is harmless: region reads overlapping it
     are multiplied by structural zeros of the banded atlas for active
     lanes, and inactive lanes are masked after the matmul.
+
+    ``out_layout``: "bm" (default) returns ``[B, out_cap, C]``;
+    "tm" skips the final batch-major relayout and returns the raw
+    time-major ``[out_cap, B*C]`` block — for consumers that are
+    themselves time-major (a chained fleet stage, a mixer bus) the
+    transpose is a pure HBM pass they never needed.  Measured
+    (experiments/out_layout_probe.py, headline config): a wash for
+    reduce-style consumers (XLA fuses through the transpose), **+13%
+    end-to-end** for a consumer that materializes the outputs — the
+    serving-pipeline case.
     """
     path = resolve_convolve_path(config, path)
     if path not in ("periodic", "farrow"):
@@ -1277,6 +1288,11 @@ def make_fir_fleet_step_sync_tm(
         raise ValueError(
             f"ratios beyond the int32 schedule envelope use the farrow "
             f"path (wide uint32 scheduling), not {path!r}"
+        )
+    if out_layout not in ("bm", "tm"):
+        raise ValueError(
+            f"out_layout must be 'bm' ([B, out_cap, C]) or 'tm' "
+            f"(time-major [out_cap, B*C]), not {out_layout!r}"
         )
     L = config.ratio_num
     M = config.ratio_den
@@ -1580,7 +1596,12 @@ def make_fir_fleet_step_sync_tm(
         out = _contract(buffer, start, pos, avail)  # [out_cap, R]
         lane = jnp.arange(out_cap, dtype=jnp.int32)
         out = jnp.where((lane < n_out)[:, None], out, 0.0)
-        out = jnp.transpose(out.reshape(out_cap, B, C), (1, 0, 2))
+        if out_layout == "bm":
+            out = jnp.transpose(out.reshape(out_cap, B, C), (1, 0, 2))
+        # out_layout == "tm": stay [out_cap, B*C] — the relayout to
+        # batch-major is a real HBM pass at fleet scale, and a consumer
+        # that is itself time-major (the next fleet stage, a mixer bus)
+        # never needs it
 
         # ---- consume: advance start, no data movement ----
         if wide:

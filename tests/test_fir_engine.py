@@ -363,6 +363,52 @@ def test_sync_tm_matches_sync_slide():
         np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=2e-6)
 
 
+def test_sync_tm_out_layout_tm():
+    """out_layout='tm' returns the raw time-major [out_cap, B*C] block
+    (the fleet-chaining form, no batch-major relayout); it must be the
+    exact transpose of the default 'bm' output at every step, including
+    across ring compactions and a ragged-feed catch-up."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    B, C, n_in = 3, 2, 300
+    L, M = reduce_ratio(44100, 48000)
+    cfg = fe.FirConfig(channels=C, taps=32, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(32, Attenuation.Db90, 44100 / 48000)
+    coeffs = fe.fir_coefficients(32, Attenuation.Db90, cutoff)
+    bm = jax.jit(
+        fe.make_fir_fleet_step_sync_tm(cfg, coeffs, B, max_chunk=n_in, horizon=3)
+    )
+    tm = jax.jit(
+        fe.make_fir_fleet_step_sync_tm(
+            cfg, coeffs, B, max_chunk=n_in, horizon=3, out_layout="tm"
+        )
+    )
+
+    rng = np.random.default_rng(7)
+    sa = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=3)
+    sb = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=3)
+    for _ in range(32):
+        ch_tm = jnp.asarray(
+            rng.standard_normal((n_in, B * C)).astype(np.float32)
+        )
+        nv = jnp.int32(int(rng.integers(0, n_in + 1)))
+        sa, oa, ca, pa = bm(sa, ch_tm, nv)  # [B, out_cap, C]
+        sb, ob, cb, pb = tm(sb, ch_tm, nv)  # [out_cap, B*C]
+        assert int(ca) == int(cb) and int(pa) == int(pb)
+        out_cap = ob.shape[0]
+        ob_bm = jnp.transpose(ob.reshape(out_cap, B, C), (1, 0, 2))
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob_bm))
+
+    with pytest.raises(ValueError, match="out_layout"):
+        fe.make_fir_fleet_step_sync_tm(
+            cfg, coeffs, B, max_chunk=n_in, out_layout="cm"
+        )
+
+
 def test_sync_tm_conv_fallback_ratio():
     """Time-major step at an L >> taps ratio (the config where the slide
     variant would pick lax.conv): im2col-always must stay correct."""
