@@ -27,8 +27,15 @@ from resampler_tpu.types import Attenuation, Latency, reduce_ratio  # noqa: E402
 SCAN_LEN = 40
 
 
-def bench(capacity, n_streams=1024, chunk=4096, dispatches=3, warmup=2):
+def bench(capacity, n_streams=1024, chunk=None, dispatches=5, warmup=2,
+          contraction="auto"):
     C = 2
+    if chunk is None:
+        # the round-3 sweep kept chunk=4096 for every capacity, so
+        # production stayed input-bound (~18 outputs/step) while the
+        # contraction grew with out_cap — the chunk must SCALE with the
+        # buffer for larger capacity to mean more outputs per step
+        chunk = capacity
     L, M = reduce_ratio(367500, 1601)
     cfg = fe.FirConfig(
         channels=C, taps=Latency.Sample64.taps, ratio_num=L, ratio_den=M,
@@ -41,7 +48,8 @@ def bench(capacity, n_streams=1024, chunk=4096, dispatches=3, warmup=2):
         Latency.Sample64.taps, Attenuation.Db90, cutoff
     )
     step = fe.make_fir_fleet_step_sync_tm(
-        cfg, coeffs, n_streams, max_chunk=chunk, horizon=8
+        cfg, coeffs, n_streams, max_chunk=chunk, horizon=8,
+        contraction=contraction,
     )
     state = fe.fir_fleet_init_sync_tm(
         cfg, n_streams, max_chunk=chunk, horizon=8
@@ -78,12 +86,15 @@ def bench(capacity, n_streams=1024, chunk=4096, dispatches=3, warmup=2):
 
 def main():
     for cap in (4096, 16384, 32768):
-        v = bench(cap)
-        print(
-            f"capacity {cap:6d}: {v:8.1f} out-Msps "
-            f"({v * 367500 / 1601 / 1e3:7.2f} in-Gsps) = {v/137.0:.2f}x ref",
-            flush=True,
-        )
+        for contraction in ("xla", "dma"):
+            v = bench(cap, contraction=contraction)
+            print(
+                f"capacity {cap:6d} chunk=cap {contraction:3s}: "
+                f"{v:8.1f} out-Msps "
+                f"({v * 367500 / 1601 / 1e3:7.2f} in-Gsps) "
+                f"= {v/137.0:.2f}x ref",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -1355,12 +1355,15 @@ def make_fir_fleet_step_sync_tm(
     else:
         if contraction == "auto":
             # manual-DMA form: needs TPU, 128-aligned per-shard lanes,
-            # and 8-aligned block heights (heavy-downsample q=1 keeps XLA)
+            # and either 8-aligned block heights (per-block kernel) or
+            # q < 8 with 8 % q == 0 (PACKED grouped kernel — heavy
+            # coprime downsampling, G = 8//q blocks per grid step)
+            q0 = farrow_block_size(L, M)
             contraction = (
                 "dma"
                 if jax.default_backend() == "tpu"
                 and r_gate % 128 == 0
-                and farrow_block_size(L, M) % 8 == 0
+                and (q0 % 8 == 0 or (q0 < 8 and 8 % q0 == 0))
                 else "xla"
             )
         fp = _farrow_tm_plan(
@@ -1368,12 +1371,46 @@ def make_fir_fleet_step_sync_tm(
             widen=8 if contraction in ("dma", "dma_interpret") else 0,
         )
         region_rows = fp["region_rows"]
-        j_loc_c = jnp.asarray(fp["j_loc"])  # [K, q]
+        q_f, K_f, n_pad_f = fp["q"], fp["K"], fp["n_pad"]
+        G = 1
+        if contraction in ("dma", "dma_interpret") and q_f % 8 != 0:
+            if not (q_f < 8 and 8 % q_f == 0):
+                raise ValueError(
+                    f"the manual-DMA farrow contraction needs block "
+                    f"height q ({q_f}) to be a multiple of 8, or q < 8 "
+                    f"with 8 % q == 0 (grouped form); use "
+                    "contraction='xla'"
+                )
+            G = 8 // q_f
+        if G > 1:
+            # pad K to a group multiple by REPEATING the last block:
+            # padded outputs are discarded by [:out_cap], the repeated
+            # reads stay inside the proven region bound
+            pad = -(-K_f // G) * G - K_f
+            j_loc_p = np.concatenate(
+                [fp["j_loc"], np.repeat(fp["j_loc"][-1:], pad, axis=0)]
+            )
+            s_p = np.concatenate(
+                [fp["s_pad"], np.repeat(fp["s_pad"][-1:], pad, axis=0)]
+            )
+            bb_p = np.concatenate(
+                [
+                    fp["block_base"],
+                    np.full(pad, fp["block_base"][-1], np.int64),
+                ]
+            )
+            K_f += pad
+            n_pad_f = K_f * q_f
+        else:
+            j_loc_p, s_p, bb_p = (
+                fp["j_loc"], fp["s_pad"], fp["block_base"],
+            )
+        j_loc_c = jnp.asarray(j_loc_p)  # [K, q]
         s_c = jnp.asarray(
-            fp["s_pad"].astype(np.uint32 if wide else np.int32)
+            s_p.astype(np.uint32 if wide else np.int32)
         )  # [K, q]
         ashift2_c = jnp.asarray(fp["ashift2"])  # [d1*n_jl, w_blk]
-        block_base_c = jnp.asarray(fp["block_base"].astype(np.int32))
+        block_base_c = jnp.asarray(bb_p.astype(np.int32))
     assert region_rows <= slack, (region_rows, slack)
 
     if wide:
@@ -1456,7 +1493,7 @@ def make_fir_fleet_step_sync_tm(
 
     def _contract_farrow(buffer, start, pos, avail):
         r_loc = buffer.shape[1]  # local lanes (R, or R/n under shard_map)
-        q, Kf = fp["q"], fp["K"]
+        q, Kf = q_f, K_f
         n_jl, w_blk, d1 = fp["n_jl"], fp["w_blk"], fp["d1"]
         dma = contraction in ("dma", "dma_interpret")
 
@@ -1495,7 +1532,7 @@ def make_fir_fleet_step_sync_tm(
             jl[:, :, None] == jnp.arange(n_jl, dtype=jnp.int32)[None, None, :]
         ).astype(jnp.float32)                             # [K, q, n_jl]
         p_mat = (t_cheb[:, :, :, None] * onehot[:, :, None, :]).reshape(
-            fp["n_pad"], d1 * n_jl
+            n_pad_f, d1 * n_jl
         )
 
         # ONE shared positioning matmul builds every output's banded
@@ -1508,13 +1545,38 @@ def make_fir_fleet_step_sync_tm(
         ).reshape(Kf, q, w_blk)
 
         if dma:
-            from ..ops.fir_dma_kernel import dma_farrow_contract
+            from ..ops.fir_dma_kernel import (
+                dma_farrow_contract,
+                dma_farrow_contract_packed,
+            )
 
-            out = dma_farrow_contract(
-                buffer, start + base, a_blk, block_base_c,
-                interpret=(contraction == "dma_interpret"),
-            )  # [K, q, R]
-            return out.reshape(fp["n_pad"], r_loc)[:out_cap]
+            if G > 1:
+                # heavy-downsample grouped form: G blocks per grid step,
+                # block j's weights placed block-diagonally at columns
+                # [j*w_blk, (j+1)*w_blk) of the packed sub-DMA scratch
+                a4 = a_blk.reshape(Kf // G, G, q, w_blk)
+                a_pack = jnp.concatenate(
+                    [
+                        jnp.pad(
+                            a4[:, j],
+                            ((0, 0), (0, 0),
+                             (j * w_blk, (G - 1 - j) * w_blk)),
+                        )
+                        for j in range(G)
+                    ],
+                    axis=1,
+                )  # [Kg, G*q, G*w_blk]
+                out = dma_farrow_contract_packed(
+                    buffer, start + base, a_pack, block_base_c,
+                    G=G, s_sub=w_blk,
+                    interpret=(contraction == "dma_interpret"),
+                )  # [Kg, G*q, R]
+            else:
+                out = dma_farrow_contract(
+                    buffer, start + base, a_blk, block_base_c,
+                    interpret=(contraction == "dma_interpret"),
+                )  # [K, q, R]
+            return out.reshape(n_pad_f, r_loc)[:out_cap]
 
         region = jax.lax.dynamic_slice(
             buffer, (start + base, 0), (region_rows, r_loc)
@@ -1531,7 +1593,7 @@ def make_fir_fleet_step_sync_tm(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # [K, q, R]
-        return out.reshape(fp["n_pad"], r_loc)[:out_cap]
+        return out.reshape(n_pad_f, r_loc)[:out_cap]
 
     _contract = _contract_periodic if path == "periodic" else _contract_farrow
     if mesh is not None and contraction in ("dma", "dma_interpret"):

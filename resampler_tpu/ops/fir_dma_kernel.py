@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "dma_banded_contract",
     "dma_farrow_contract",
+    "dma_farrow_contract_packed",
     "build_shifted_atlas",
 ]
 
@@ -121,6 +122,103 @@ def _farrow_kernel(sc_ref, ablk_ref, buf_ref, o_ref, seg_ref, sem_ref, *,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def _farrow_packed_kernel(sc_ref, apack_ref, buf_ref, o_ref, seg_ref,
+                          sem_ref, *, Kg, G, s_sub):
+    """Packed variant for SMALL farrow blocks (q < 8, heavy coprime
+    downsampling): each grid step handles a GROUP of G consecutive
+    blocks with G independent sub-DMAs — block j's ``s_sub`` tap-window
+    rows land at seg rows ``[j*s_sub, (j+1)*s_sub)`` — then one
+    block-diagonal dot ``[G*q, G*s_sub] x [G*s_sub, R]``.  Unlike a
+    union-span read this touches only ~taps rows per output (heavy
+    blocks do not overlap) and its VMEM footprint is independent of the
+    decimation ratio L/M."""
+    g = pl.program_id(0)
+    base = sc_ref[0]
+
+    def get_dma(slot, gg, j):
+        start = base + sc_ref[1 + gg * G + j]
+        aligned = (start // 8) * 8
+        return pltpu.make_async_copy(
+            buf_ref.at[pl.ds(aligned, s_sub), :],
+            seg_ref.at[slot, pl.ds(j * s_sub, s_sub)],
+            sem_ref.at[slot, j],
+        )
+
+    @pl.when(g == 0)
+    def _warm():
+        for j in range(G):
+            get_dma(0, 0, j).start()
+
+    @pl.when(g + 1 < Kg)
+    def _next():
+        for j in range(G):
+            get_dma((g + 1) % 2, g + 1, j).start()
+
+    for j in range(G):
+        get_dma(g % 2, g, j).wait()
+    o_ref[0] = jax.lax.dot(
+        apack_ref[0],
+        seg_ref[g % 2],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("G", "s_sub", "interpret"))
+def dma_farrow_contract_packed(buffer, base, a_pack, block_base, *,
+                               G: int, s_sub: int,
+                               interpret: bool = False):
+    """``out[g, j*q + l, r] = sum_c a_pack[g, j*q + l, j*s_sub + c] *
+    buffer[align8(base + block_base[g*G + j]) + c, r]`` — the grouped
+    farrow contraction for q < 8 ratios, fed by per-block packed
+    sub-DMAs.  ``a_pack [Kg, G*q, G*s_sub]`` is block-diagonal: block
+    ``j``'s rows occupy columns ``[j*s_sub, (j+1)*s_sub)``, pre-shifted
+    for each block's ALIGNED read (the caller folds
+    ``(base + block_base) % 8`` into the positioning one-hot).
+    ``block_base [Kg*G]`` int32.  Returns ``[Kg, G*q, R]`` f32."""
+    Kg, rows, width = a_pack.shape
+    assert width == G * s_sub, (width, G, s_sub)
+    _, R = buffer.shape
+    kern = functools.partial(
+        _farrow_packed_kernel, Kg=Kg, G=G, s_sub=s_sub
+    )
+    scalars = jnp.concatenate(
+        [
+            jnp.reshape(jnp.asarray(base, jnp.int32), (1,)),
+            jnp.asarray(block_base, jnp.int32),
+        ]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Kg,),
+        in_specs=[
+            pl.BlockSpec((1, rows, width), lambda g, b: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, rows, R), lambda g, b: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, G * s_sub, R), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, G)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Kg, rows, R), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Kg * rows * width * R * 6,
+            bytes_accessed=Kg * width * R * 4 + Kg * rows * R * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scalars, a_pack, buffer)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -153,6 +153,55 @@ def test_tm_farrow_dma_contraction_matches_xla():
     assert produced >= 4
 
 
+@pytest.mark.parametrize(
+    "in_hz,out_hz,q_expect,taps",
+    [
+        (367500, 1601, 1, 32),   # L/M ~ 230: q=1, G=8
+        (48000, 1601, 2, 32),    # L/M ~ 30:  q=2, G=4
+    ],
+)
+def test_tm_farrow_packed_dma_contraction_matches_xla(
+    in_hz, out_hz, q_expect, taps
+):
+    """The PACKED grouped farrow DMA contraction (heavy coprime
+    downsampling, q < 8: G = 8//q blocks per grid step, per-block
+    sub-DMAs, block-diagonal weights) equals the XLA form across
+    streaming steps — interpret mode on CPU; measured +3–9% end-to-end
+    over the XLA form across input capacities on v5e, monotone in
+    capacity (ROUND3_NOTES.md packed-farrow ledger)."""
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import Attenuation, reduce_ratio
+
+    L, M = reduce_ratio(in_hz, out_hz)
+    assert fe.farrow_block_size(L, M) == q_expect
+    B, C = 2, 2
+    cfg = fe.FirConfig(channels=C, taps=taps, ratio_num=L, ratio_den=M)
+    assert fe.resolve_convolve_path(cfg) == "farrow"
+    cutoff = fe.fir_cutoff(taps, Attenuation.Db90, in_hz / out_hz)
+    coeffs = fe.fir_coefficients(taps, Attenuation.Db90, cutoff)
+    s_x = jax.jit(fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=2048, horizon=3, contraction="xla"))
+    s_d = jax.jit(fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=2048, horizon=3,
+        contraction="dma_interpret"))
+    st_x = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=2048, horizon=3)
+    st_d = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=2048, horizon=3)
+    rng = np.random.default_rng(7)
+    produced = 0
+    for _ in range(6):
+        ch = jnp.asarray(rng.standard_normal((2048, B * C)), jnp.float32)
+        st_x, ox, cx, px = s_x(st_x, ch, jnp.int32(2048))
+        st_d, od, cd, pd = s_d(st_d, ch, jnp.int32(2048))
+        assert int(cx) == int(cd) and int(px) == int(pd)
+        p = int(px)
+        if p:
+            produced += 1
+            np.testing.assert_allclose(
+                np.asarray(ox)[:, :p], np.asarray(od)[:, :p], atol=1e-5
+            )
+    assert produced >= 4
+
+
 def test_tm_dma_contraction_mesh_sharded():
     """Mesh-sharded tm fleets keep the manual-DMA contraction: GSPMD has
     no partitioning rule for pallas_call, so the step wraps the lane-

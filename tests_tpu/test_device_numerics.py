@@ -338,6 +338,46 @@ def test_farrow_dma_contraction_on_device():
             )
 
 
+def test_farrow_packed_dma_contraction_on_device():
+    """The PACKED grouped Farrow DMA contraction (heavy coprime
+    downsampling, q < 8: G = 8//q blocks per grid step via per-block
+    sub-DMAs and one block-diagonal dot) equals the XLA form on
+    hardware across streaming steps."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    B, C, n_in = 64, 2, 2048  # B*C = 128: DMA lane-tiling minimum
+    L, M = reduce_ratio(367500, 1601)  # L/M ~ 230 -> q=1, G=8
+    assert fe.farrow_block_size(L, M) == 1
+    cfg = fe.FirConfig(channels=C, taps=32, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(32, Attenuation.Db90, 367500 / 1601)
+    coeffs = fe.fir_coefficients(32, Attenuation.Db90, cutoff)
+    s_x = jax.jit(fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=n_in, horizon=3, contraction="xla"))
+    s_d = jax.jit(fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=n_in, horizon=3, contraction="dma"))
+    st_x = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=3)
+    st_d = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=3)
+    rng = np.random.default_rng(11)
+    produced = 0
+    for _ in range(8):
+        ch = jnp.asarray(rng.standard_normal((n_in, B * C)), jnp.float32)
+        nv = jnp.int32(int(rng.integers(n_in // 2, n_in + 1)))
+        st_x, ox, cx, px = s_x(st_x, ch, nv)
+        st_d, od, cd, pd = s_d(st_d, ch, nv)
+        assert int(cx) == int(cd) and int(px) == int(pd)
+        p = int(px)
+        if p:
+            produced += 1
+            np.testing.assert_allclose(
+                np.asarray(ox)[:, :p], np.asarray(od)[:, :p], atol=5e-6
+            )
+    assert produced >= 4
+
+
 def test_farrow_sync_fleet_device_vs_cpu():
     """The synchronized Farrow tm fleet (the 58x arbitrary-ratio path)
     computes the same answers on hardware as on CPU — guarding the
