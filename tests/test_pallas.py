@@ -158,6 +158,7 @@ def test_tm_farrow_dma_contraction_matches_xla():
     [
         (367500, 1601, 1, 32),   # L/M ~ 230: q=1, G=8
         (48000, 1601, 2, 32),    # L/M ~ 30:  q=2, G=4
+        (48000, 3001, 4, 32),    # L/M ~ 16:  q=4, G=2
     ],
 )
 def test_tm_farrow_packed_dma_contraction_matches_xla(
