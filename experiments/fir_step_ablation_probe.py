@@ -40,7 +40,10 @@ def main():
     import builtins
 
     pr = functools.partial(builtins.print, flush=True)
-    B, C, chunk = 1024, 2, 4096
+    smoke = "--smoke" in sys.argv
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+    B, C, chunk = (8, 2, 256) if smoke else (1024, 2, 4096)
     R = B * C
     cfg = fe.FirConfig(channels=C, taps=TAPS, ratio_num=L, ratio_den=M)
     cutoff = fe.fir_cutoff(TAPS, Attenuation.Db90, 44100 / 48000)
@@ -55,7 +58,7 @@ def main():
     rng = np.random.default_rng(0)
     chunks = jnp.asarray(rng.standard_normal((chunk, R)), jnp.float32)
 
-    J = 32
+    J = 2 if smoke else 32
 
     def harness(body_fn, init_carry):
         @jax.jit
@@ -118,6 +121,47 @@ def main():
 
     feed = harness(feed_body, dict(state0))
 
+    # feed-b: the SMALL-CARRY alternative (what a fused-feed step would
+    # pay instead of the ring append): copy only the ~h leftover tail
+    # rows of the chunk into a small carry buffer + the dup-head copy
+    # that keeps carry-resident blocks contiguous.  The contraction
+    # reads the same bytes either way, so feed - feed_b is the whole
+    # end-to-end saving a carry||chunk redesign could deliver.
+    span = L + TAPS + 1
+    h_cap = min(-(-(span + M + 64) // 8) * 8, chunk)  # leftover bound
+    dup = min(-(-(2 * L + span + M + 8) // 8) * 8, chunk)  # dup-head margin
+
+    def feed_b_body(st, chunks, j):
+        carry = st["carry"]                        # [h_cap + dup, R]
+        pos = st["pos_num"]
+        # dup-head: chunk's first `dup` rows appended after the carry
+        carry = jax.lax.dynamic_update_slice(
+            carry, chunks[:dup], (h_cap, 0)
+        )
+        avail = jnp.int32(h_cap) + jnp.int32(chunk)
+        n_out = fe._compute_n_out(cfg, pos, avail, jnp.int32(out_cap))
+        pos_after = pos + n_out * jnp.int32(L)
+        consumed = jnp.minimum(pos_after // jnp.int32(M), avail)
+        pos = pos_after - consumed * jnp.int32(M)
+        # leftover tail of the chunk -> carry start (steady state:
+        # leftover < h_cap rows, a ~0.5 MB copy vs the 33.5 MB append)
+        h = avail - consumed
+        h_c = jnp.minimum(h, jnp.int32(h_cap))
+        tail_start = jnp.maximum(jnp.int32(chunk) - h_c, 0)
+        tail = jax.lax.dynamic_slice(
+            chunks, (tail_start, 0), (h_cap, R)
+        )  # [h_cap, R] (over-read; kernel masks by h in the real design)
+        carry = jax.lax.dynamic_update_slice(carry, tail, (0, 0))
+        return dict(carry=carry, pos_num=pos), None
+
+    feed_b = harness(
+        feed_b_body,
+        dict(
+            carry=jnp.zeros((h_cap + dup, R), jnp.float32),
+            pos_num=jnp.int32(0),
+        ),
+    )
+
     # consume-only: mask + bm relayout + reduce of a fixed [out_cap, R]
     fake_out = jnp.asarray(
         rng.standard_normal((out_cap, R)), jnp.float32
@@ -142,7 +186,10 @@ def main():
         jax.block_until_ready(r)
         return (time.perf_counter() - t0) / reps
 
-    for name, fn in [("full", full), ("feed", feed), ("consume", consume)]:
+    for name, fn in [
+        ("full", full), ("feed", feed), ("feed_b", feed_b),
+        ("consume", consume),
+    ]:
         t = time_fn(fn, chunks)
         pr(f"{name}: {t*1e3/J:.3f} ms/step")
 
