@@ -202,8 +202,15 @@ class BatchedResamplerFir:
             if wide
             else delta_f.astype(np.int64)
         )
-        ceiling = self._config.input_capacity * M
-        applied = np.clip(delta, -pos, ceiling - pos)
+        if wide:
+            # wide schedules have no int32 envelope; heavy-downsample
+            # states also carry pos beyond capacity*M (consumption is
+            # capped at avail) — only the history clamp applies, the
+            # ceiling must never push the position backwards on its own
+            applied = np.maximum(delta, -pos)
+        else:
+            ceiling = self._config.input_capacity * M
+            applied = np.clip(delta, -pos, np.maximum(0, ceiling - pos))
         if np.any(applied != 0):
             new_pos = pos + applied
             if wide:

@@ -1366,6 +1366,15 @@ def make_fir_fleet_step_sync_tm(
                 and (q0 % 8 == 0 or (q0 < 8 and 8 % q0 == 0))
                 else "xla"
             )
+        if contraction == "dma" and r_gate % 128 != 0:
+            # mirror the periodic branch's gate: Mosaic DMA lane widths
+            # must be 128-aligned — fail here with a clear error instead
+            # of an opaque Mosaic compile failure later
+            raise ValueError(
+                f"the manual-DMA farrow contraction needs the per-shard "
+                f"fleet lane count ({r_gate}) to be a multiple of 128 "
+                "(Mosaic DMA tiling); use contraction='xla'"
+            )
         fp = _farrow_tm_plan(
             config, coeffs,
             widen=8 if contraction in ("dma", "dma_interpret") else 0,
@@ -1876,9 +1885,16 @@ class ResamplerFir:
             pos = int(self._state["pos_num"])
         # clamp: never before the oldest buffered frame, and keep the
         # numerator inside the int32 overflow envelope of _compute_n_out
-        # (pos_num + i*L < (capacity+1)*M)
-        ceiling = self._config.input_capacity * M
-        applied = min(max(delta, -pos), ceiling - pos)
+        # (pos_num + i*L < (capacity+1)*M).  Wide schedules have no
+        # int32 envelope, and heavy-downsample states routinely carry
+        # pos beyond capacity*M (consumption is capped at avail) — the
+        # ceiling clamp must only ever RESTRICT a forward request,
+        # never push the position backwards on its own.
+        if wide:
+            applied = max(delta, -pos)
+        else:
+            ceiling = self._config.input_capacity * M
+            applied = min(max(delta, -pos), max(0, ceiling - pos))
         if applied:
             new_pos = pos + applied
             if wide:

@@ -51,7 +51,10 @@ def shard_batch(tree, mesh: Mesh):
     """
     sharded = stream_sharding(mesh)
     replicated = NamedSharding(mesh, P())
-    n = mesh.size
+    # divisibility must be gated on the STREAM axis extent, not the total
+    # mesh size: on a multi-axis mesh the NamedSharding only splits over
+    # STREAM_AXIS, and the fleet steps gate on the same extent
+    n = mesh.shape[STREAM_AXIS]
 
     def place(x):
         ndim = getattr(x, "ndim", None)
@@ -81,7 +84,11 @@ def shard_lanes(tree, mesh: Mesh):
         for nd in (1, 2, 3, 4)
     }
     replicated = NamedSharding(mesh, P())
-    n = mesh.size
+    # gate on the stream-axis extent (not mesh.size): the spec shards over
+    # STREAM_AXIS only, and make_fir_fleet_step_sync_tm sizes its per-shard
+    # DMA contraction from the same extent — disagreeing here would
+    # silently replicate lanes the step expects sharded
+    n = mesh.shape[STREAM_AXIS]
 
     def place(x):
         ndim = getattr(x, "ndim", None)

@@ -304,3 +304,80 @@ def test_fleet_slew_tracks_per_stream_clock_drift():
     assert sync.slew(0.5) == 0.5
     with pytest.raises(ValueError, match="synchronized"):
         sync.slew(np.array([0.1, 0.2]))
+
+
+def test_slew_zero_is_identity_when_pos_beyond_capacity():
+    """ADVICE r3 (medium): wide/heavy-downsample states routinely carry
+    pos far beyond input_capacity*M (consumption is capped at avail), so
+    the old ceiling clamp `clip(delta, -pos, ceiling - pos)` went
+    NEGATIVE and slew(0.0) silently applied a multi-million-sample
+    backwards phase jump.  slew must never move the position opposite
+    to (or beyond) the request."""
+    B, C = 2, 1
+    rng = np.random.default_rng(3)
+    # wide heavy-downsample pair: pos accumulates far beyond capacity*M
+    fleet = BatchedResamplerFir(B, C, 10_000_000, 3, Latency.Sample32,
+                                Attenuation.Db90)
+    assert fleet.config.wide
+    for _ in range(4):
+        fleet.resample(rng.standard_normal((B, 4096, C)).astype(np.float32))
+    before = {k: np.asarray(v).copy() for k, v in fleet.state.items()}
+    applied = fleet.slew(0.0)
+    assert np.all(np.asarray(applied) == 0.0), applied
+    after = fleet.state
+    for k, v in before.items():
+        np.testing.assert_array_equal(v, np.asarray(after[k]), err_msg=k)
+    # a small positive request is applied exactly, never inverted
+    applied = fleet.slew(1.0)
+    assert np.all(np.abs(np.asarray(applied) - 1.0) < 2e-6), applied
+
+    # single-engine path takes the same clamp (engine/fir.py slew)
+    from resampler_tpu import ResamplerFir
+
+    eng = ResamplerFir.new_from_hz(1, 10_000_000, 3, Latency.Sample32,
+                                   Attenuation.Db90)
+    out = np.zeros(eng.buffer_size_output(), np.float32)
+    for _ in range(4):
+        x = rng.standard_normal(4096).astype(np.float32)
+        off = 0
+        while off < len(x):
+            c, p = eng.resample(x[off:], out)
+            if c == 0 and p == 0:
+                break
+            off += c
+    assert eng.slew(0.0) == 0.0
+    assert abs(eng.slew(1.0) - 1.0) < 2e-6
+
+
+def test_shard_lanes_gates_on_stream_axis_extent():
+    """ADVICE r3 (low): on a multi-axis mesh the divisibility gate must
+    use the STREAM axis extent (what the NamedSharding actually splits
+    over), not mesh.size — otherwise a lane count divisible by the
+    stream axis but not by mesh.size is silently replicated while the
+    fleet step still sizes its per-shard contraction for a shard."""
+    from jax.sharding import Mesh
+    from resampler_tpu.parallel.sharding import STREAM_AXIS, shard_lanes
+
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, (STREAM_AXIS, "aux"))
+    x = np.zeros((16, 6), np.float32)  # 6 % 2 == 0, 6 % 8 != 0
+    placed = shard_lanes({"x": x}, mesh)["x"]
+    spec = placed.sharding.spec
+    assert tuple(spec) == (None, STREAM_AXIS), spec
+
+
+def test_farrow_dma_contraction_gates_lane_width():
+    """ADVICE r3 (low): an explicit contraction='dma' on the farrow
+    branch must fail with a clear ValueError for non-128-aligned fleet
+    lanes (mirroring the periodic branch) instead of an opaque Mosaic
+    compile error."""
+    from resampler_tpu.engine import fir as fe
+
+    cfg = fe.FirConfig(channels=1, taps=32, ratio_num=44100, ratio_den=44101)
+    assert fe.resolve_convolve_path(cfg) == "farrow"
+    cutoff = fe.fir_cutoff(32, Attenuation.Db90, 44100 / 44101)
+    coeffs = fe.fir_coefficients(32, Attenuation.Db90, cutoff)
+    with pytest.raises(ValueError, match="multiple of 128"):
+        fe.make_fir_fleet_step_sync_tm(
+            cfg, coeffs, 4, max_chunk=1024, contraction="dma"
+        )
