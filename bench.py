@@ -25,6 +25,20 @@ FIR_BASELINE_MSPS = 137.0  # CHANGELOG.md:77 midpoint (503-540 MiB/s)
 FFT_BASELINE_MSPS = 258.0  # CHANGELOG.md:75-76 midpoint (780-1192 MiB/s)
 
 SCAN_LEN = 40  # chunks per dispatch
+# Distinct preloaded chunks rotated through the scan.  Feeding ONE chunk
+# for all scan iterations lets XLA hoist the input relayout/split out of
+# the loop (LICM) — measured ~15% FFT inflation vs an engine-style
+# varying feed (ROUND3_NOTES chunk-batching ledger).  Rotating NBUF
+# distinct buffers via an in-scan dynamic index keeps the feed varying
+# (criterion parity: benches/benchmark_resampler_fir.rs:59-93 times
+# fresh input per iteration) at NBUF x chunk memory.
+NBUF = 8
+
+
+def _rotating_indices():
+    import jax.numpy as jnp
+
+    return jnp.arange(SCAN_LEN, dtype=jnp.int32) % NBUF
 
 
 def bench_fir(
@@ -64,14 +78,14 @@ def bench_fir(
         )
 
         def fleet(state, chunks):
-            def body(st, _):
+            def body(st, idx):
                 st, out, consumed, produced = step(
-                    st, chunks, jnp.int32(chunk_frames)
+                    st, chunks[idx], jnp.int32(chunk_frames)
                 )
                 return st, (produced * n_streams, jnp.max(jnp.abs(out)))
 
             state, (produced, peaks) = jax.lax.scan(
-                body, state, None, length=SCAN_LEN
+                body, state, _rotating_indices()
             )
             return state, jnp.sum(produced), jnp.max(peaks)
 
@@ -84,16 +98,16 @@ def bench_fir(
         )
 
         def fleet(state, chunks):
-            def body(st, _):
+            def body(st, idx):
                 st, out, consumed, produced = jax.vmap(
                     step, in_axes=(0, 0, 0, 0)
-                )(st, chunks, n_valid, budget)
+                )(st, chunks[idx], n_valid, budget)
                 # Reduce over outputs so XLA cannot dead-code-eliminate the
                 # convolution (produced alone only depends on the schedule).
                 return st, (jnp.sum(produced), jnp.max(jnp.abs(out)))
 
             state, (produced, peaks) = jax.lax.scan(
-                body, state, None, length=SCAN_LEN
+                body, state, _rotating_indices()
             )
             return state, jnp.sum(produced), jnp.max(peaks)
 
@@ -101,9 +115,9 @@ def bench_fir(
 
     rng = np.random.default_rng(0)
     shape = (
-        (chunk_frames, n_streams * C)  # time-major fleet feed
+        (NBUF, chunk_frames, n_streams * C)  # time-major fleet feed
         if synchronized
-        else (n_streams, chunk_frames, C)
+        else (NBUF, n_streams, chunk_frames, C)
     )
     chunks = jnp.asarray(rng.standard_normal(shape), jnp.float32)
 
@@ -153,21 +167,21 @@ def bench_fir_arbitrary(
     state = jax.vmap(lambda _: fir_engine.fir_init(cfg))(jnp.arange(n_streams))
 
     def fleet(state, chunks):
-        def body(st, _):
+        def body(st, idx):
             st, out, consumed, produced = jax.vmap(step)(
-                st, chunks, n_valid, budget
+                st, chunks[idx], n_valid, budget
             )
             return st, (jnp.sum(produced), jnp.max(jnp.abs(out)))
 
         state, (produced, peaks) = jax.lax.scan(
-            body, state, None, length=SCAN_LEN
+            body, state, _rotating_indices()
         )
         return state, jnp.sum(produced), jnp.max(peaks)
 
     fleet = jax.jit(fleet, donate_argnums=0)
     rng = np.random.default_rng(0)
     chunks = jnp.asarray(
-        rng.standard_normal((n_streams, chunk_frames, C)), jnp.float32
+        rng.standard_normal((NBUF, n_streams, chunk_frames, C)), jnp.float32
     )
     for _ in range(warmup):
         state, produced, peak = fleet(state, chunks)
@@ -183,7 +197,10 @@ def bench_fir_arbitrary(
     return sum(int(p) for p in produced_parts) * C / dt / 1e6
 
 
-def bench_fft(dispatches=5, warmup=2, n_streams=8192):
+def bench_fft(
+    dispatches=5, warmup=2, n_streams=8192,
+    fft_size_input=1176, fft_size_output=1280,
+):
     import jax
     import jax.numpy as jnp
 
@@ -191,7 +208,9 @@ def bench_fft(dispatches=5, warmup=2, n_streams=8192):
 
     C = 2
     cfg = fft_engine.FftConfig(
-        channels=C, fft_size_input=1176, fft_size_output=1280
+        channels=C,
+        fft_size_input=fft_size_input,
+        fft_size_output=fft_size_output,
     )
     # backend="auto": on the TPU this resolves to the fused Pallas banded
     # magnitude-split kernel (ops/fft_magsplit_kernel.py) — ~0.42x the MXU
@@ -201,10 +220,10 @@ def bench_fft(dispatches=5, warmup=2, n_streams=8192):
     step = fft_engine.make_fft_fleet_step(cfg, n_streams)
 
     def fleet(state, chunks):
-        def body(st, _):
-            st, out = step(st, chunks)
+        def body(st, idx):
+            st, out = step(st, chunks[idx])
             return st, jnp.max(jnp.abs(out))
-        state, peaks = jax.lax.scan(body, state, None, length=SCAN_LEN)
+        state, peaks = jax.lax.scan(body, state, _rotating_indices())
         return state, jnp.max(peaks)
 
     fleet = jax.jit(fleet, donate_argnums=0)
@@ -212,7 +231,8 @@ def bench_fft(dispatches=5, warmup=2, n_streams=8192):
     state = fft_engine.fft_fleet_init(cfg, n_streams)
     rng = np.random.default_rng(0)
     chunks = jnp.asarray(
-        rng.standard_normal((n_streams, C, cfg.fft_size_input)), jnp.float32
+        rng.standard_normal((NBUF, n_streams, C, cfg.fft_size_input)),
+        jnp.float32,
     )
 
     for _ in range(warmup):
@@ -505,6 +525,23 @@ def quality_attestation():
 def main():
     fir_msps = bench_fir()
     fft_msps = bench_fft()
+    # The reference criterion benches measure FOUR rate pairs
+    # (benches/benchmark_resampler_fft.rs:23-87, *_fir.rs:23-93):
+    # 48->96, 22.05->48, 44.1->48, 48->44.1 — all stereo.  The headline
+    # above is 44.1->48; the other three are recorded here so the
+    # vs-reference claim covers the reference's own workload set.
+    fir_pairs = {}
+    fft_pairs = {}
+    for in_hz, out_hz, n_in, n_out in (
+        (48000, 96000, 512, 1024),
+        (22050, 48000, 588, 1280),
+        (48000, 44100, 1280, 1176),
+    ):
+        key = f"{in_hz}_{out_hz}"
+        fir_pairs[key] = bench_fir(dispatches=3, in_hz=in_hz, out_hz=out_hz)
+        fft_pairs[key] = bench_fft(
+            dispatches=3, fft_size_input=n_in, fft_size_output=n_out
+        )
     # Arbitrary-ratio production serving path: the synchronized tm fleet's
     # Farrow contraction (shared positioning matmul across the fleet).
     fir_arb_sync_msps = bench_fir(in_hz=44100, out_hz=44101)
@@ -555,6 +592,27 @@ def main():
             "fir_heavy_downsample_input_msamples_per_s": round(
                 fir_heavy_msps * 367500 / 1601, 1
             ),
+            # At L/M ~ 230 outputs are intrinsically scarce: the reference
+            # must copy ~230 input samples per output, so ITS output rate
+            # at this ratio is copy-bound at ~11 Msps — input-side Gsps is
+            # the honest decimator throughput measure (ROUND3_NOTES).
+            "fir_heavy_downsample_note": (
+                "decimation: input-side rate is the capacity measure; "
+                "reference output rate at this ratio is copy-bound ~11 Msps"
+            ),
+            "fir_pair_msamples_per_s": {
+                k: round(v, 1) for k, v in fir_pairs.items()
+            },
+            "fir_pair_vs_reference": {
+                k: round(v / FIR_BASELINE_MSPS, 2) for k, v in fir_pairs.items()
+            },
+            "fft_pair_msamples_per_s": {
+                k: round(v, 1) for k, v in fft_pairs.items()
+            },
+            "fft_pair_vs_reference": {
+                k: round(v / FFT_BASELINE_MSPS, 2) for k, v in fft_pairs.items()
+            },
+            "feed": "varying (NBUF=%d rotating chunks per scan)" % NBUF,
             "fir_alias_rejection_db": round(fir_alias_db, 1),
             "fft_stopband_db": round(fft_stopband_db, 1),
             "farrow_device_err": float(f"{farrow_dev_err:.2e}"),
