@@ -1745,6 +1745,247 @@ def fir_fleet_init_sync_tm(
     return state
 
 
+def make_fir_fleet_step_async_tm(
+    config: FirConfig,
+    coeffs: np.ndarray,
+    n_streams: int,
+    *,
+    max_chunk: int,
+    horizon: int = 16,
+    skew_periods: int = 1,
+    out_layout: str = "bm",
+):
+    """TIME-MAJOR **asynchronous**-fleet step: streams share the rate pair
+    and the chunk cadence but keep fully INDEPENDENT positions (per-stream
+    start phases, drift/slew histories) — the multi-tenant serving shape
+    between the phase-locked sync fleet and the general vmapped engine.
+
+    Why it is fast where ``vmap(make_fir_step)`` is ~1x reference: per
+    stream, only two scalars diverge — the frame skew ``base_b`` and the
+    subframe residue ``r_b``.  The step therefore
+
+    1. keeps ONE shared ``[ring, B*C]`` buffer (same KV-cache append and
+       scalar consume as the sync tm fleet — per-stream consumption is
+       decomposed into a shared scalar plus a bounded per-stream residual
+       folded back into ``pos``),
+    2. runs ONE fleet-wide Farrow basis-response convolution
+       ``y[p, d, lane] = (A_d \\* buffer)[p]`` (the per-stream Farrow path
+       pays this conv per stream and then re-blocks it; here it is a
+       single fat conv over all lanes),
+    3. resolves the per-stream schedule WITHOUT gathers: output ``i`` of
+       stream ``b`` needs ``sum_d T_d(u_i^b) * y[j_i + shift_i^b, d]``
+       where ``j_i`` is the STATIC shared offset table and
+       ``shift_i^b = base_b + wrap_i^b`` is bounded by
+       ``skew_periods + 1`` — so the data movement is ``skew_periods + 2``
+       static row-takes of ``y`` and an elementwise select, and the only
+       per-stream compute is the Chebyshev combine (``d1`` MACs/output).
+
+    Positions are exact int32 rationals as everywhere else; outputs equal
+    the per-stream farrow engine's to the polynomial-evaluation floor
+    (differentially tested across compactions).
+
+    **Skew invariant**: ``max(pos) - min(pos) < skew_periods * M`` must
+    hold at every step (positions are in subframe units of ``1/M``; one
+    period = one input frame).  ``fir_fleet_init_async_tm`` enforces it at
+    init; feeding is shared, and the step preserves the spread exactly, so
+    only external position edits (slew) can widen it.  Streams needing
+    larger mutual skew belong on the vmapped engine.
+
+    Unequal RATE PAIRS cannot share a schedule at all — serve those as one
+    fleet per reduced ratio (the planner analog of bucketing by shape);
+    each fleet step is one dispatch, so a handful of ratio groups costs a
+    handful of dispatches, not a per-stream loop.
+
+    ``step(state, chunks_tm [n<=max_chunk, B*C], n_valid) ->
+    (state', out, consumed, produced)``; ``out`` is ``[B, out_cap, C]``
+    ("bm", default) or time-major ``[out_cap, B*C]`` ("tm").  All streams
+    produce the same ``produced`` count per step (the fleet-min schedule);
+    a stream ahead of the pack defers — never drops — outputs, bounded by
+    the skew invariant.  (reference per-stream generality:
+    src/resampler_fir.rs:542-590.)
+    """
+    if config.wide:
+        raise ValueError(
+            "the async tm fleet supports int32-envelope ratios; wide u32 "
+            "pairs use the sync tm fleet or the vmapped engine"
+        )
+    if out_layout not in ("bm", "tm"):
+        raise ValueError(
+            f"out_layout must be 'bm' ([B, out_cap, C]) or 'tm' "
+            f"(time-major [out_cap, B*C]), not {out_layout!r}"
+        )
+    if skew_periods < 1:
+        raise ValueError("skew_periods must be >= 1")
+    L_, M_ = config.ratio_num, config.ratio_den
+    taps = config.taps
+    C = config.channels
+    B = n_streams
+    R = B * C
+    cap = config.input_capacity
+    out_cap = config.out_capacity
+    slack = config.read_slack
+    ring = -(-(cap + slack + horizon * max_chunk) // 256) * 256
+    degree = FARROW_DEGREE
+    d1 = degree + 1
+    n_shift = skew_periods + 2  # base residual [0, skew] + wrap carry
+
+    i = np.arange(out_cap, dtype=np.int64)
+    j_np = ((i * L_) // M_).astype(np.int32)
+    s_np = ((i * L_) % M_).astype(np.int32)
+    j_max = int(j_np[-1])
+    p_len = j_max + n_shift  # take indices reach j_max + n_shift - 1
+    region_rows = p_len + taps - 1
+    assert region_rows <= slack, (region_rows, slack)
+
+    A, _ = farrow_matrix(coeffs, degree)
+    filt = jnp.asarray(A[:, None, :])  # [d1, 1, taps] (OIH)
+    j_c = jnp.asarray(j_np)
+    s_c = jnp.asarray(s_np)
+    L = jnp.int32(L_)
+    M = jnp.int32(M_)
+
+    def step(state: FirState, chunks_tm, n_valid):
+        chunks_tm = chunks_tm.astype(jnp.float32)
+        n_in, _ = chunks_tm.shape
+        assert chunks_tm.shape == (n_in, R) and n_in <= max_chunk
+        n_valid = jnp.minimum(jnp.asarray(n_valid, jnp.int32), n_in)
+
+        buffer = state["buffer"]
+        start = state["start"]
+        fill = state["fill"]
+        pos = state["pos_num"]  # [B] int32, per-stream
+        avail = fill - start
+
+        # ---- append (in-place KV-cache DUS, same as the sync fleet) ----
+        to_copy = jnp.minimum(n_valid, cap - avail)
+        mask = jnp.arange(n_in, dtype=jnp.int32) < to_copy
+        chunk_masked = jnp.where(mask[:, None], chunks_tm, 0.0)
+        buffer = jax.lax.dynamic_update_slice(buffer, chunk_masked, (fill, 0))
+        fill = fill + to_copy
+        avail = avail + to_copy
+
+        # ---- fleet-min schedule: the laggard stream (max pos) bounds ----
+        n_out = _compute_n_out(config, jnp.max(pos), avail, jnp.int32(out_cap))
+
+        # ---- per-stream schedule residues (no gathers anywhere) ----
+        b0 = jnp.minimum(jnp.min(pos) // M, avail)  # shared frame skew
+        rel = pos - b0 * M                          # [B], in [0, n_shift*M)
+        base_rel = rel // M                         # [B]
+        r = rel - base_rel * M                      # [B], in [0, M)
+        wrap = (r[:, None] + s_c[None, :] >= M).astype(jnp.int32)  # [B, N]
+        shift = base_rel[:, None] + wrap            # [B, N]
+        frac = (
+            r[:, None] + s_c[None, :] - M * wrap
+        ).astype(jnp.float32) / jnp.float32(M_)
+        u = 2.0 * frac - 1.0
+        ts = [jnp.ones_like(u), u]
+        for _ in range(d1 - 2):
+            ts.append(2.0 * u * ts[-1] - ts[-2])
+        v = jnp.stack(ts, axis=-1)                  # [B, N, d1]
+
+        # ---- ONE fleet-wide basis-response conv ----
+        region = jax.lax.dynamic_slice(
+            buffer, (start + b0, 0), (region_rows, R)
+        )
+        y = jax.lax.conv_general_dilated(
+            region[:, None, :], filt, window_strides=(1,), padding="VALID",
+            dimension_numbers=("HCN", "OIH", "HCN"),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [p_len, d1, R]
+
+        # ---- static shift-takes + Chebyshev combine + select ----
+        vs = jnp.transpose(v, (1, 2, 0))[:, :, :, None]  # [N, d1, B, 1]
+        shift_t = jnp.transpose(shift)[:, :, None]       # [N, B, 1]
+        out = None
+        for s in range(n_shift - 1, -1, -1):
+            ys = jnp.take(y, j_c + s, axis=0)            # [N, d1, R] static
+            o_s = jnp.sum(
+                ys.reshape(out_cap, d1, B, C) * vs, axis=1
+            )  # [N, B, C]
+            out = o_s if out is None else jnp.where(shift_t == s, o_s, out)
+        out = out.reshape(out_cap, R)
+        lane = jnp.arange(out_cap, dtype=jnp.int32)
+        out = jnp.where((lane < n_out)[:, None], out, 0.0)
+        if out_layout == "bm":
+            out = jnp.transpose(out.reshape(out_cap, B, C), (1, 0, 2))
+
+        # ---- consume: shared scalar + per-stream residual into pos ----
+        pos_after = pos + n_out * L                      # [B]
+        consumed = jnp.minimum(jnp.min(pos_after) // M, avail)
+        start = start + consumed
+        pos_new = pos_after - consumed * M
+
+        # ---- amortized compaction (same as the sync fleet) ----
+        def compact(args):
+            buf, s_, f_ = args
+            ws = jnp.minimum(s_, jnp.int32(ring - cap))
+            win = jax.lax.dynamic_slice(buf, (ws, 0), (cap, R))
+            buf2 = jnp.concatenate(
+                [win, jnp.zeros((ring - cap, R), jnp.float32)], axis=0
+            )
+            return buf2, s_ - ws, f_ - ws
+
+        buffer, start, fill = jax.lax.cond(
+            fill + jnp.int32(max_chunk + slack) > jnp.int32(ring),
+            compact,
+            lambda args: args,
+            (buffer, start, fill),
+        )
+
+        new_state = FirState(
+            buffer=buffer, start=start, fill=fill, pos_num=pos_new
+        )
+        return new_state, out, to_copy, n_out
+
+    return step
+
+
+def fir_fleet_init_async_tm(
+    config: FirConfig,
+    n_streams: int,
+    *,
+    max_chunk: int,
+    horizon: int = 16,
+    pos_num=None,
+    skew_periods: int = 1,
+) -> FirState:
+    """Initial state for ``make_fir_fleet_step_async_tm``.  ``pos_num``
+    (optional ``[n_streams]`` int32) sets per-stream initial subframe
+    positions; the skew invariant ``max - min < skew_periods * M`` is
+    checked here (the step preserves the spread exactly)."""
+    ring = -(
+        -(config.input_capacity + config.read_slack + horizon * max_chunk)
+        // 256
+    ) * 256
+    if pos_num is None:
+        pos = np.zeros(n_streams, np.int32)
+    else:
+        pos = np.asarray(pos_num, np.int64)
+        if pos.shape != (n_streams,):
+            raise ValueError(
+                f"pos_num must have shape ({n_streams},), got {pos.shape}"
+            )
+        if pos.min() < 0:
+            raise ValueError("initial positions must be non-negative")
+        if int(pos.max() - pos.min()) >= skew_periods * config.ratio_den:
+            raise ValueError(
+                f"position spread {int(pos.max() - pos.min())} violates the "
+                f"skew invariant (< skew_periods*M = "
+                f"{skew_periods * config.ratio_den}); widen skew_periods or "
+                "use the vmapped engine"
+            )
+        pos = pos.astype(np.int32)
+    return FirState(
+        buffer=jnp.zeros(
+            (ring, n_streams * config.channels), jnp.float32
+        ),
+        start=jnp.zeros((), jnp.int32),
+        fill=jnp.zeros((), jnp.int32),
+        pos_num=jnp.asarray(pos),
+    )
+
+
 # --------------------------------------------------------------------------
 # Stateful wrapper — reference-parity public API
 # --------------------------------------------------------------------------
