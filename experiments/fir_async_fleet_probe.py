@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--in-hz", type=int, default=44100)
     ap.add_argument("--out-hz", type=int, default=44101)
     ap.add_argument("--dispatches", type=int, default=5)
+    ap.add_argument("--max-out", type=int, default=None)
     args = ap.parse_args()
 
     B, C = args.streams, 2
@@ -46,7 +47,8 @@ def main():
         Latency.Sample64.taps, Attenuation.Db90, cutoff
     )
     step = fe.make_fir_fleet_step_async_tm(
-        cfg, coeffs, B, max_chunk=args.chunk, horizon=16, out_layout="tm"
+        cfg, coeffs, B, max_chunk=args.chunk, horizon=16, out_layout="tm",
+        max_out=args.max_out,
     )
     rng = np.random.default_rng(0)
     phases = rng.integers(0, M, size=B)
