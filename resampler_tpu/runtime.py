@@ -41,7 +41,8 @@ class StreamingFleet:
         chunk_frames: int = 2048,
         queue_capacity_frames: int = 1 << 16,
         mesh=None,
-        synchronized: bool = False,
+        synchronized: bool | str = False,
+        initial_positions=None,
     ) -> None:
         self.n_streams = n_streams
         self.channels = channels
@@ -56,6 +57,10 @@ class StreamingFleet:
         # the excess in the per-stream carry.  Right for uniform
         # producers (frame-synchronous fleets); divergent feeds should
         # keep the default vmapped engine with per-stream schedules.
+        # synchronized="async" keeps the shared cadence but gives every
+        # stream an INDEPENDENT phase (join offsets via
+        # ``initial_positions``, per-stream drift via ``slew``) — the
+        # multi-tenant case, ~11x reference at arbitrary coprime ratios.
         self.engine = BatchedResamplerFir(
             n_streams,
             channels,
@@ -64,8 +69,10 @@ class StreamingFleet:
             latency,
             attenuation,
             mesh=mesh,
-            synchronized=synchronized,
+            synchronized=bool(synchronized),
+            sync_variant="async_tm" if synchronized == "async" else "tm",
             max_chunk=chunk_frames,
+            initial_positions=initial_positions,
         )
         # Unconsumed frames awaiting the next device step, staged in ONE
         # left-aligned [B, cap, C] array + per-stream lengths so every

@@ -162,6 +162,138 @@ def test_async_fleet_init_validation():
         )
 
 
+def test_async_fleet_max_out_defers():
+    """``max_out`` bounds the static per-step output lanes; production
+    beyond it backpressures (deferred to later steps) and the per-stream
+    sequences stay exactly the per-stream engine's."""
+    L, M = reduce_ratio(44100, 44101)
+    B, C, taps, chunk = 2, 2, 32, 512
+    cfg = fe.FirConfig(channels=C, taps=taps, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(taps, Attenuation.Db90, 44100 / 44101)
+    coeffs = fe.fir_coefficients(taps, Attenuation.Db90, cutoff)
+    # max_out well below the per-chunk steady state (~512) forces
+    # deferral on every step
+    step = jax.jit(
+        fe.make_fir_fleet_step_async_tm(
+            cfg, coeffs, B, max_chunk=chunk, horizon=3, max_out=200
+        )
+    )
+    full = jax.jit(
+        fe.make_fir_fleet_step_async_tm(
+            cfg, coeffs, B, max_chunk=chunk, horizon=3
+        )
+    )
+    phases = [0, 7777]
+    sa = fe.fir_fleet_init_async_tm(
+        cfg, B, max_chunk=chunk, horizon=3, pos_num=np.asarray(phases)
+    )
+    sb = fe.fir_fleet_init_async_tm(
+        cfg, B, max_chunk=chunk, horizon=3, pos_num=np.asarray(phases)
+    )
+    rng = np.random.default_rng(3)
+    seq_a = [[] for _ in range(B)]
+    seq_b = [[] for _ in range(B)]
+    for k in range(8):
+        # starve the capped fleet after step 3 so it can drain its backlog
+        nv = chunk if k < 4 else 0
+        data = rng.standard_normal((chunk, B * C)).astype(np.float32)
+        data[nv:] = 0.0
+        sa, oa, _, pa = step(sa, jnp.asarray(data), jnp.int32(nv))
+        sb, ob, _, pb = full(sb, jnp.asarray(data), jnp.int32(nv))
+        assert int(pa) <= 200
+        for b in range(B):
+            seq_a[b].append(np.asarray(oa)[b, : int(pa)])
+            seq_b[b].append(np.asarray(ob)[b, : int(pb)])
+    for b in range(B):
+        a = np.concatenate(seq_a[b])
+        fb = np.concatenate(seq_b[b])
+        assert len(a) > 1000  # backlog drained across steps
+        np.testing.assert_allclose(a, fb[: len(a)], atol=2e-5)
+
+
+def test_batched_wrapper_async_tm():
+    """BatchedResamplerFir(sync_variant='async_tm') matches the general
+    vmapped wrapper stream-for-stream at an arbitrary coprime ratio with
+    distinct initial phases."""
+    from resampler_tpu.engine.batched import BatchedResamplerFir
+    from resampler_tpu.types import Latency
+
+    B, C, chunk = 3, 2, 512
+    phases = np.asarray([0, 11111, 44100 // 2])
+    eng = BatchedResamplerFir(
+        B, C, 44100, 44101, Latency.Sample32, Attenuation.Db90,
+        synchronized=True, sync_variant="async_tm", max_chunk=chunk,
+        initial_positions=phases,
+    )
+    ref = BatchedResamplerFir(
+        B, C, 44100, 44101, Latency.Sample32, Attenuation.Db90,
+        path="farrow",
+    )
+    ref.state = dict(
+        ref.state, pos_num=jnp.asarray(phases.astype(np.int32))
+    )
+    rng = np.random.default_rng(9)
+    got = [[] for _ in range(B)]
+    want = [[] for _ in range(B)]
+    for _ in range(6):
+        chunks = rng.standard_normal((B, chunk, C)).astype(np.float32)
+        out, c, p, _ = eng.resample(chunks)
+        out = np.asarray(out)
+        for b in range(B):
+            got[b].append(out[b, : int(np.asarray(p)[b])])
+        out, c, p, _ = ref.resample(chunks)
+        out = np.asarray(out)
+        for b in range(B):
+            want[b].append(out[b, : int(np.asarray(p)[b])])
+    for b in range(B):
+        g = np.concatenate(got[b])
+        w = np.concatenate(want[b])
+        assert len(g) > 1500
+        np.testing.assert_allclose(g, w[: len(g)], atol=2e-5)
+
+
+def test_batched_wrapper_async_slew():
+    """Per-stream slew works on the async fleet (meaningless on sync);
+    violating the skew invariant raises instead of corrupting."""
+    from resampler_tpu.engine.batched import BatchedResamplerFir
+    from resampler_tpu.types import Latency
+
+    B, C = 2, 1
+    eng = BatchedResamplerFir(
+        B, C, 44100, 44101, Latency.Sample32, Attenuation.Db90,
+        synchronized=True, sync_variant="async_tm", max_chunk=256,
+    )
+    applied = eng.slew(np.asarray([0.25, -0.0]))
+    assert applied.shape == (B,)
+    assert abs(applied[0] - 0.25) < 1e-4 and applied[1] == 0.0
+    with pytest.raises(ValueError, match="spread"):
+        eng.slew(np.asarray([10.0, -10.0]))  # spread 20 frames > M/M
+
+
+def test_streaming_fleet_async_mode():
+    """StreamingFleet(synchronized='async') end-to-end: independent join
+    phases through the host staging pool."""
+    import resampler_tpu as rt
+
+    B, C = 2, 2
+    fleet = rt.StreamingFleet(
+        B, C, 44100, 44101, rt.Latency.Sample32, rt.Attenuation.Db90,
+        chunk_frames=256, synchronized="async",
+        initial_positions=np.asarray([0, 9999]),
+    )
+    rng = np.random.default_rng(2)
+    tot = [0, 0]
+    for _ in range(4):
+        for b in range(B):
+            fleet.push(b, rng.standard_normal(256 * C).astype(np.float32))
+        outs = fleet.step()
+        for b in range(B):
+            assert np.isfinite(outs[b]).all()
+            tot[b] += len(outs[b])
+    # 4*256 frames in minus taps lookahead -> ~990 out frames per stream
+    assert min(tot) > 900 * C
+
+
 def test_async_fleet_masked_lanes_zero():
     """Lanes beyond the produced count are exactly zero in both layouts."""
     L, M = reduce_ratio(44100, 44101)
