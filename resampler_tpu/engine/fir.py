@@ -2058,6 +2058,7 @@ class ResamplerFir:
         attenuation: Attenuation = Attenuation.Db120,
         *,
         path: str = "auto",
+        schedule: str = "exact",
     ) -> None:
         input_hz = int(input_rate)
         output_hz = int(output_rate)
@@ -2072,6 +2073,28 @@ class ResamplerFir:
         ratio = input_hz / output_hz
         cutoff = fir_cutoff(latency.taps, attenuation, ratio)
         self._coeffs = fir_coefficients(latency.taps, attenuation, cutoff)
+        # schedule="reference" is the opt-in BIT-PARITY mode: the
+        # reference's f64 position accumulator semantics, run on the
+        # host (engine/reference_schedule.py) — a verification surface
+        # for users cross-checking against the reference binary, not a
+        # serving path.  The default exact rational schedule has zero
+        # drift and deviates from it only at exact phase boundaries
+        # (<=2e-3 wobble on every M-th output; PARITY.md §2.3).
+        if schedule not in ("exact", "reference"):
+            raise ValueError(
+                f"schedule must be 'exact' or 'reference', not {schedule!r}"
+            )
+        self._reference = None
+        if schedule == "reference":
+            from .reference_schedule import ReferenceScheduleFir
+
+            self._reference = ReferenceScheduleFir(
+                channels, latency.taps, self._coeffs, input_hz, output_hz,
+                input_capacity=self._config.input_capacity,
+            )
+            self._step = None
+            self._state = None
+            return
         self._step = jax.jit(
             make_fir_step(self._config, self._coeffs, path=path),
             donate_argnums=0,
@@ -2118,6 +2141,9 @@ class ResamplerFir:
 
     def reset(self) -> None:
         """Clear all stream state (reference: src/resampler_fir.rs:638-642)."""
+        if self._reference is not None:
+            self._reference.reset()
+            return
         self._state = fir_init(self._config)
 
     def slew(self, samples: float) -> float:
@@ -2146,6 +2172,9 @@ class ResamplerFir:
         src/resampler_fir.rs:189-196) — this is a capability the exact
         integer schedule adds for free.
         """
+        if self._reference is not None:
+            # f64 schedule: the position nudges directly (no 1/M grid)
+            return self._reference.slew(float(samples))
         M = self._config.ratio_den
         delta = int(round(float(samples) * M))
         wide = self._config.wide
@@ -2192,6 +2221,8 @@ class ResamplerFir:
         """Consume interleaved ``input`` and write resampled frames into
         interleaved ``output``; returns ``(consumed, produced)`` in total
         f32 values (reference: src/resampler_fir.rs:509-621)."""
+        if self._reference is not None:
+            return self._reference.resample(input, output)
         C = self._config.channels
         input = np.asarray(input, dtype=np.float32)
         if input.ndim != 1 or input.size % C:
