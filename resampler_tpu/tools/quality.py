@@ -79,10 +79,11 @@ def analyze_impulse_response(
     fft_size: int = 8192,
 ) -> QualityReport:
     """Frequency-response statistics of a resampled impulse
-    (reference: test_audio_resampler.py:105-214): window 0.1 s around the
-    peak, FFT, then passband ripple over [20 Hz, 0.9*input Nyquist],
-    -3 dB crossing, and stopband max over [1.1*input Nyquist,
-    0.95*output Nyquist]."""
+    (reference: test_audio_resampler.py:105-245): window 0.1 s around the
+    peak, FFT, then — with ``nyq = min(input, output) / 2`` exactly as the
+    reference's ``min_nyquist`` (test_audio_resampler.py:191-197) —
+    passband ripple over [20 Hz, 0.9*nyq], -3 dB crossing, and stopband
+    max over [1.1*nyq, top of spectrum]."""
     y = np.asarray(resampled_impulse, np.float64)
     peak = int(np.argmax(np.abs(y)))
     window = int(output_rate * 0.1)
@@ -93,12 +94,16 @@ def analyze_impulse_response(
     mag_db = 20 * np.log10(np.maximum(np.abs(spec), 1e-12))
     freqs = np.fft.rfftfreq(fft_size, 1.0 / output_rate)
 
-    nyq_in = input_rate / 2.0
+    # the band the conversion can carry: below BOTH Nyquists (when
+    # downsampling the filter cuts at the OUTPUT Nyquist — measuring the
+    # passband against the input Nyquist would read the filter's own
+    # rolloff as 'ripple', and the stopband window would be empty)
+    nyq = min(input_rate, output_rate) / 2.0
 
     def bin_of(f):
         return int(round(f / output_rate * fft_size))
 
-    pb_lo, pb_hi = bin_of(20.0), bin_of(nyq_in * 0.9)
+    pb_lo, pb_hi = bin_of(20.0), bin_of(nyq * 0.9)
     passband = mag_db[pb_lo : pb_hi + 1]
     ref_level = np.median(passband)
     ripple = float(passband.max() - passband.min())
@@ -109,8 +114,8 @@ def analyze_impulse_response(
         freqs[-1]
     )
 
-    sb_lo = bin_of(nyq_in * 1.1)
-    sb_hi = min(len(mag_db) - 10, bin_of(output_rate / 2 * 0.95))
+    sb_lo = bin_of(nyq * 1.1)
+    sb_hi = len(mag_db) - 1
     if sb_lo < sb_hi:
         stopband_max = float(mag_db[sb_lo : sb_hi + 1].max())
         attenuation = float(passband.max() - stopband_max)
