@@ -164,6 +164,20 @@ class FirConfig:
             # fleet step uses im2col unconditionally — its (K + n_blk)*L
             # read must never clamp-shift near the compaction threshold
             region_cols = max((K + n_blk) * L, (K - 1) * L + span)
+            # ... and the GROUPED form the tm fleet uses for small-M
+            # families (see _periodic_group_factor): same leading K*L
+            # term, slightly wider block tail
+            g = _periodic_group_factor(L, self.ratio_den)
+            if g > 1:
+                Lg, Mg = L * g, self.ratio_den * g
+                span_g = Lg + taps + 1
+                K_g = -(-self.out_capacity // Mg)
+                n_blk_g = 1 + -(-(span_g - Lg) // Lg)
+                region_cols = max(
+                    region_cols,
+                    (K_g + n_blk_g) * Lg,
+                    (K_g - 1) * Lg + span_g,
+                )
             slack = max(
                 region_cols + L // self.ratio_den + MIN_READ_SLACK,
                 gather_need,
@@ -1134,6 +1148,26 @@ def fir_fleet_init_sync(config: FirConfig, n_streams: int) -> FirState:
     )
 
 
+def _periodic_group_factor(L: int, M: int) -> int:
+    """Group ``g`` schedule periods of the banded atlas into one
+    UNREDUCED ``(gL, gM)`` atlas so the periodic contraction's fat dot
+    has >= 128 output rows (one full MXU tile of rows).
+
+    For small-M families (unity / x2 / x4: reduced M in {1, 2, 4, ...})
+    the per-period atlas matmul has only M output rows — 1.5% MXU row
+    utilization, measured 853 Msps at 48000->96000 (M=2) vs 13.5 Gsps
+    for the M=160 headline pair.  Grouping is free at the schedule
+    level: ``(i*gL) // (gM) == (i*L) // M`` exactly, and the f64 phase
+    values ``(g*r)/(g*M)`` round identically to ``r/M``, so the grouped
+    atlas rows are bit-identical to the reduced ones.  ``g`` also rounds
+    up so ``g*L % 8 == 0`` (8-row-aligned DMA block stride for free)."""
+    if M >= 128:
+        return 1
+    g = -(-128 // M)
+    align = 8 // math.gcd(L, 8)
+    return -(-g // align) * align
+
+
 def _sync_atlas(config: FirConfig, coeffs) -> np.ndarray:
     """Doubled banded-kernel atlas shared by the sync step variants
     (same construction as ``_convolve_periodic``)."""
@@ -1323,16 +1357,29 @@ def make_fir_fleet_step_sync_tm(
         r_gate = R
 
     if path == "periodic":
-        span = L + taps + 1
-        K = -(-config.out_capacity // M)
+        # Small-M families (unity/x2/x4) group g periods into one
+        # unreduced (gL, gM) atlas so the fat dot has >= 128 output
+        # rows — bit-identical schedule/atlas, see _periodic_group_factor
+        # (measured 853 Msps -> MXU-shaped at 48000->96000, M=2).
+        g = _periodic_group_factor(L, M)
+        Lg, Mg = L * g, M * g
+        span = Lg + taps + 1
+        K = -(-config.out_capacity // Mg)
         # im2col unconditionally: in time-major the block decomposition is
         # a major-axis reshape + concat (cheap); the L >> taps padding
         # waste the frames-minor path avoids via lax.conv is bounded by
         # n_blk*L/span
-        n_blk = 1 + -(-(span - L) // L)
-        s_len = n_blk * L
-        region_rows = (K + n_blk) * L
-        a2 = jnp.asarray(_sync_atlas(config, coeffs))
+        n_blk = 1 + -(-(span - Lg) // Lg)
+        s_len = n_blk * Lg
+        region_rows = (K + n_blk) * Lg
+        a2 = jnp.asarray(
+            _sync_atlas(
+                dataclasses.replace(config, ratio_num=Lg, ratio_den=Mg),
+                coeffs,
+            )
+            if g > 1
+            else _sync_atlas(config, coeffs)
+        )
         l_inv = pow(L, -1, M) if M > 1 else 0
         if contraction == "auto":
             # Mosaic DMA lane widths must be 128-aligned, so small fleets
@@ -1446,23 +1493,23 @@ def make_fir_fleet_step_sync_tm(
         r = pos_num - d_min * jnp.int32(M)
         i0 = (r * jnp.int32(l_inv)) % jnp.int32(M)
         c0 = (i0 * jnp.int32(L)) // jnp.int32(M)
-        a = jax.lax.dynamic_slice(a2, (i0, c0), (M, span))
+        a = jax.lax.dynamic_slice(a2, (i0, c0), (Mg, span))
         base = start + d_min
         if contraction in ("dma", "dma_interpret"):
             from ..ops.fir_dma_kernel import dma_banded_contract
 
             out = dma_banded_contract(
-                buffer, base, a, L=L, M=M, span=span, K=K,
+                buffer, base, a, L=Lg, M=Mg, span=span, K=K,
                 interpret=(contraction == "dma_interpret"),
-            )  # [K, M, R]
-            return out.reshape(K * M, r_loc)[:out_cap]
+            )  # [K, Mg, R]
+            return out.reshape(K * Mg, r_loc)[:out_cap]
         a_pad = jnp.pad(a, ((0, 0), (0, s_len - span)))
 
         # ---- ONE fat fleet-wide matmul ----
         region = jax.lax.dynamic_slice(
             buffer, (base, 0), (region_rows, r_loc)
         )
-        blocks = region.reshape(K + n_blk, L, r_loc)  # major-axis split
+        blocks = region.reshape(K + n_blk, Lg, r_loc)  # major-axis split
         segs = jnp.concatenate(
             [blocks[bb : bb + K] for bb in range(n_blk)], axis=1
         )  # [K, s_len, R]
@@ -1497,8 +1544,8 @@ def make_fir_fleet_step_sync_tm(
                 segs,
                 preferred_element_type=jnp.float32,
                 precision=precision,
-            )  # [K, M, R]
-        return out.reshape(K * M, r_loc)[:out_cap]
+            )  # [K, Mg, R]
+        return out.reshape(K * Mg, r_loc)[:out_cap]
 
     def _contract_farrow(buffer, start, pos, avail):
         r_loc = buffer.shape[1]  # local lanes (R, or R/n under shard_map)

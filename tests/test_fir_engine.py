@@ -363,6 +363,52 @@ def test_sync_tm_matches_sync_slide():
         np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=2e-6)
 
 
+@pytest.mark.parametrize(
+    "in_hz,out_hz",
+    [(48000, 96000), (96000, 48000), (44100, 176400), (44100, 44100)],
+)
+def test_sync_tm_small_m_grouped_atlas(in_hz, out_hz):
+    """Small-M families (unity/x2/x4; reduced M in {1, 2, 4}) run the
+    GROUPED periodic atlas in the tm fleet (one >=128-row MXU dot per
+    contraction instead of M-row slivers — _periodic_group_factor); the
+    grouped schedule must match the ungrouped slide variant across
+    ragged feeds and ring compactions."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    B, C, n_in = 2, 2, 300
+    L, M = reduce_ratio(in_hz, out_hz)
+    assert fe._periodic_group_factor(L, M) > 1
+    cfg = fe.FirConfig(channels=C, taps=32, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(32, Attenuation.Db90, in_hz / out_hz)
+    coeffs = fe.fir_coefficients(32, Attenuation.Db90, cutoff)
+    slide = jax.jit(
+        fe.make_fir_fleet_step_sync(cfg, coeffs, B, channel_major=True)
+    )
+    tm = jax.jit(
+        fe.make_fir_fleet_step_sync_tm(
+            cfg, coeffs, B, max_chunk=n_in, horizon=3
+        )
+    )
+    rng = np.random.default_rng(9)
+    sa = fe.fir_fleet_init_sync(cfg, B)
+    sb = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=3)
+    for _ in range(24):
+        ch = rng.standard_normal((B, C, n_in)).astype(np.float32)
+        nv = jnp.int32(int(rng.integers(0, n_in + 1)))
+        sa, oa, ca, pa = slide(sa, jnp.asarray(ch), nv)
+        ch_tm = jnp.asarray(np.ascontiguousarray(ch.reshape(B * C, n_in).T))
+        sb, ob, cb, pb = tm(sb, ch_tm, nv)
+        assert int(ca) == int(cb) and int(pa) == int(pb)
+        p = int(pa)
+        np.testing.assert_allclose(
+            np.asarray(oa)[:, :p], np.asarray(ob)[:, :p], atol=2e-6
+        )
+
+
 def test_sync_tm_out_layout_tm():
     """out_layout='tm' returns the raw time-major [out_cap, B*C] block
     (the fleet-chaining form, no batch-major relayout); it must be the
