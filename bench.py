@@ -314,6 +314,59 @@ def bench_fft(
     return samples / dt / 1e6
 
 
+def bench_fft_pool(
+    dispatches=5, warmup=2, n_streams=8192,
+    fft_size_input=1176, fft_size_output=1280,
+):
+    """ZERO-COPY pool-fed FFT fleet (make_fft_fleet_step_pool): the
+    magsplit kernel reads prev/cur chunks straight from the rotating
+    input pool via scalar-prefetched block index maps — the serving
+    ingest architecture.  The materialized step pays an extra 2*B*C*N*4
+    bytes of staging traffic per step because a pallas_call cannot fuse
+    the pool slice into its operand read."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fft as fft_engine
+
+    C = 2
+    cfg = fft_engine.FftConfig(
+        channels=C,
+        fft_size_input=fft_size_input,
+        fft_size_output=fft_size_output,
+    )
+    step = fft_engine.make_fft_fleet_step_pool(cfg, n_streams)
+    idxs = _rotating_indices()
+
+    def fleet(state, pool):
+        def body(st, i):
+            st, out = step(st, pool, i)
+            return st, jnp.max(jnp.abs(out))
+        state, peaks = jax.lax.scan(body, state, idxs)
+        return state, jnp.max(peaks)
+
+    fleet = jax.jit(fleet)
+
+    state = fft_engine.fft_fleet_pool_init(prev_idx=NBUF - 1)
+    rng = np.random.default_rng(0)
+    pool = jnp.asarray(
+        rng.standard_normal((NBUF, n_streams, C, cfg.fft_size_input)),
+        jnp.float32,
+    )
+    pool = pool.at[NBUF - 1].set(0.0)  # stream start: silent prev slot
+
+    for _ in range(warmup):
+        state, peak = fleet(state, pool)
+    jax.block_until_ready(peak)
+    t0 = time.perf_counter()
+    for _ in range(dispatches):
+        state, peak = fleet(state, pool)
+    jax.block_until_ready(peak)
+    dt = time.perf_counter() - t0
+    samples = dispatches * SCAN_LEN * n_streams * C * cfg.fft_size_output
+    return samples / dt / 1e6
+
+
 def fft_bench_pair_attestation():
     """Noise floor of the BENCHED pair's production path (1176->1280
     magsplit on TPU) vs an f64 host reference, measured in-run.  The

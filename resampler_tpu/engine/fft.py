@@ -315,6 +315,84 @@ def _make_magsplit_step(config: FftConfig):
     return chunk_op
 
 
+def make_fft_fleet_step_pool(
+    config: FftConfig, n_streams: int, *, backend: str = "auto"
+):
+    """ZERO-COPY fleet step over a rotating chunk pool (the serving
+    ingest form): producers write chunks into ``pool`` slots, and the
+    magsplit kernel reads ``prev`` and ``cur`` straight from their slots
+    via scalar-prefetched block index maps — no per-step [B, C, N]
+    staging copy (a ``pallas_call`` cannot fuse a dynamic slice into its
+    operand read, so the materialized form pays 2*B*C*N*4 extra HBM
+    bytes per step: measured 27% of the step at the bench shape).
+
+    ``step(state, pool [P, B, C, N], idx) -> (state', out [B, C, M])``
+    with ``state = {"prev_idx": int32}``.  Caller contract: the slot
+    ``state["prev_idx"]`` still holds the previous chunk when ``step``
+    runs (pool depth >= 2; start a stream by zero-filling the initial
+    ``prev_idx`` slot from ``fft_fleet_pool_init``).
+
+    Magsplit backend only (the pool read is the kernel's); other
+    backends take the materialized ``make_fft_fleet_step`` — their XLA
+    ops fuse the slice themselves."""
+    n_in = config.fft_size_input
+    n_out = config.fft_size_output
+    C = config.channels
+    B = n_streams
+    backend = _resolve_backend(config, backend)
+    if backend != "magsplit":
+        raise ValueError(
+            f"the pool step is the magsplit kernel's zero-copy form; "
+            f"backend {backend!r} fuses its own input reads — use "
+            "make_fft_fleet_step"
+        )
+    from ..ops.fft_magsplit_kernel import (
+        magsplit_projector_pool,
+        magsplit_weights,
+    )
+
+    plan = _magsplit_plan(config)
+    if plan is None:
+        raise ValueError(
+            "magsplit backend: pair "
+            f"{config.fft_size_input}->{config.fft_size_output} has no "
+            "viable band plan (use backend='matmul')"
+        )
+    wh, wcorr = magsplit_weights(plan)
+    interpret = jax.default_backend() != "tpu"
+    if (B * C) % 8:
+        raise ValueError(
+            f"pool step needs B*C ({B * C}) to be a multiple of 8 "
+            "(Mosaic row tiling)"
+        )
+
+    def step(state, pool, idx):
+        P = pool.shape[0]
+        assert pool.shape == (P, B, C, n_in), pool.shape
+        out = magsplit_projector_pool(
+            pool.reshape(P, B * C, n_in),
+            state["prev_idx"],
+            idx,
+            wh,
+            wcorr,
+            plan=plan,
+            interpret=interpret,
+        )
+        return (
+            {"prev_idx": jnp.asarray(idx, jnp.int32)},
+            out.reshape(B, C, n_out),
+        )
+
+    return step
+
+
+def fft_fleet_pool_init(prev_idx: int = 0):
+    """Initial state for ``make_fft_fleet_step_pool``: the caller
+    zero-fills pool slot ``prev_idx`` before the first step (stream
+    start = silent previous chunk, same as ``fft_fleet_init``)."""
+    return {"prev_idx": jnp.int32(prev_idx)}
+
+
 def make_fft_step(config: FftConfig, *, backend: str = "auto"):
     """Build the pure chunk-step:
 

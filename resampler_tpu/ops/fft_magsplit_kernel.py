@@ -61,6 +61,7 @@ __all__ = [
     "plan_magsplit",
     "magsplit_weights",
     "magsplit_projector",
+    "magsplit_projector_pool",
     "simulate_magsplit_floor",
 ]
 
@@ -244,8 +245,7 @@ def magsplit_weights(plan: MagsplitPlan):
     return out
 
 
-def _kernel(prev_ref, cur_ref, wh_ref, wc_ref, o_ref, *, plan: MagsplitPlan):
-    x2 = jnp.concatenate([prev_ref[:], cur_ref[:]], axis=1)  # [tr, 2N] f32
+def _body(x2, wh_ref, wc_ref, o_ref, plan: MagsplitPlan):
     hi, lo = split_hi_lo(x2)
     lp = plan.lp
     for q in range(plan.s):
@@ -261,6 +261,20 @@ def _kernel(prev_ref, cur_ref, wh_ref, wc_ref, o_ref, *, plan: MagsplitPlan):
         )
         y = y + jnp.dot(hl, wc_ref[q], preferred_element_type=jnp.float32)
         o_ref[:, q * plan.cols : (q + 1) * plan.cols] = y
+
+
+def _kernel(prev_ref, cur_ref, wh_ref, wc_ref, o_ref, *, plan: MagsplitPlan):
+    x2 = jnp.concatenate([prev_ref[:], cur_ref[:]], axis=1)  # [tr, 2N] f32
+    _body(x2, wh_ref, wc_ref, o_ref, plan)
+
+
+def _kernel_pool(idx_ref, prev_ref, cur_ref, wh_ref, wc_ref, o_ref, *,
+                 plan: MagsplitPlan):
+    # prev/cur blocks are [1, tile_r, N] slices of the caller's pool,
+    # selected by the scalar-prefetched slot indices (idx_ref is consumed
+    # by the BlockSpec index maps, not here)
+    x2 = jnp.concatenate([prev_ref[0], cur_ref[0]], axis=1)  # [tr, 2N]
+    _body(x2, wh_ref, wc_ref, o_ref, plan)
 
 
 def _tile_rows(r: int) -> int:
@@ -312,3 +326,66 @@ def magsplit_projector(prev, cur, wh, wcorr, *, plan: MagsplitPlan,
         interpret=interpret,
     )(prev, cur, wh, wcorr)
     return out[:R] if r_pad != R else out
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "interpret"))
+def magsplit_projector_pool(
+    pool, idx_prev, idx_cur, wh, wcorr, *, plan: MagsplitPlan,
+    interpret: bool = False,
+):
+    """Rotating-pool form of ``magsplit_projector``: reads
+    ``prev = pool[idx_prev]`` and ``cur = pool[idx_cur]`` straight out of
+    the caller's chunk pool via scalar-prefetched block index maps.
+
+    A ``pallas_call`` cannot fuse a dynamic slice into its operand read,
+    so the materialized form (``chunk_op(prev, pool[idx])``) pays an
+    extra ``2 * R * N * 4`` bytes of HBM traffic per step just to stage
+    its inputs — measured 27% of the FFT fleet step at the bench shape
+    (engine-style varying feed, BENCH r4 40.2x vs the r3 scan-invariant
+    56.6x).  Here the producer writes chunks into pool slots and the
+    kernel reads them in place; the streaming state shrinks to one slot
+    index.
+
+    ``pool [P, R, N]`` f32 with ``R % 8 == 0``; ``idx_prev``/``idx_cur``
+    traced int32 slot indices.  Returns ``[R, M]`` f32."""
+    P, R, n = pool.shape
+    assert n == plan.n_in, (n, plan.n_in)
+    assert R % 8 == 0, R
+    tile_r = _tile_rows(R)
+    kern = functools.partial(_kernel_pool, plan=plan)
+    idx = jnp.stack(
+        [
+            jnp.asarray(idx_prev, jnp.int32),
+            jnp.asarray(idx_cur, jnp.int32),
+        ]
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R // tile_r,),
+        in_specs=[
+            pl.BlockSpec((1, tile_r, n), lambda i, s: (s[0], i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_r, n), lambda i, s: (s[1], i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan.s, plan.rows, plan.cols),
+                         lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan.s, 2 * plan.wc, plan.cols),
+                         lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_r, plan.n_out), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, plan.n_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * R * (plan.rows + 2 * plan.wc) * plan.cols * plan.s,
+            bytes_accessed=2 * R * n * 4 + R * plan.n_out * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idx, pool, pool, wh, wcorr)

@@ -223,3 +223,38 @@ def test_state_schema_conversion_across_backends():
             ra._config,
             "magsplit",
         )
+
+
+def test_pool_step_matches_materialized_fleet_step():
+    """The zero-copy rotating-pool step (scalar-prefetched slot reads)
+    computes exactly the materialized fleet step's outputs across slot
+    wraparound, including the zero-filled stream start."""
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fft as fe
+
+    cfg = fe.FftConfig(channels=2, fft_size_input=588, fft_size_output=1280)
+    B, C, N = 4, 2, 588  # B*C = 8 rows
+    step_m = fe.make_fft_fleet_step(cfg, B, backend="magsplit")
+    step_p = fe.make_fft_fleet_step_pool(cfg, B, backend="magsplit")
+    st_m = fe.fft_fleet_init(cfg, B, "magsplit")
+    P = 3
+    pool = np.zeros((P, B, C, N), np.float32)
+    st_p = fe.fft_fleet_pool_init(prev_idx=2)  # slot 2 stays zero-filled
+    rng = np.random.default_rng(4)
+    for k in range(6):
+        chunk = rng.standard_normal((B, C, N)).astype(np.float32)
+        slot = k % 2
+        pool[slot] = chunk
+        st_m, out_m = step_m(st_m, jnp.asarray(chunk))
+        st_p, out_p = step_p(st_p, jnp.asarray(pool), jnp.int32(slot))
+        assert int(st_p["prev_idx"]) == slot
+        np.testing.assert_array_equal(np.asarray(out_m), np.asarray(out_p))
+
+
+def test_pool_step_rejects_non_magsplit_backend():
+    from resampler_tpu.engine import fft as fe
+
+    cfg = fe.FftConfig(channels=2, fft_size_input=588, fft_size_output=1280)
+    with pytest.raises(ValueError, match="pool step"):
+        fe.make_fft_fleet_step_pool(cfg, 4, backend="matmul")
