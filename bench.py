@@ -676,6 +676,11 @@ def main():
     fir_wide_msps = bench_fir(in_hz=600011, out_hz=600013)
     fir_arb_async_msps = bench_fir_arbitrary_async()
     fir_arb_msps = bench_fir_arbitrary("farrow")
+    # exact table-lerp SEMANTICS at farrow-class speed (SVD-factorized
+    # table, engine/fir.py _convolve_lerp); the gather path below is the
+    # slow by-construction ORACLE for the same semantics and is excluded
+    # from vs-reference claims
+    fir_lerp_msps = bench_fir_arbitrary("lerp")
     fir_gather_msps = bench_fir_arbitrary("gather", n_streams=64)
     fir_alias_db, fft_stopband_db = quality_attestation()
     farrow_dev_err = farrow_device_attestation()
@@ -709,9 +714,15 @@ def main():
             "fir_arbitrary_vs_reference": round(
                 fir_arb_msps / FIR_BASELINE_MSPS, 2
             ),
+            "fir_lerp_msamples_per_s": round(fir_lerp_msps, 1),
+            "fir_lerp_vs_reference": round(
+                fir_lerp_msps / FIR_BASELINE_MSPS, 2
+            ),
             "fir_gather_msamples_per_s": round(fir_gather_msps, 1),
-            "fir_gather_vs_reference": round(
-                fir_gather_msps / FIR_BASELINE_MSPS, 2
+            "fir_gather_note": (
+                "semantics oracle (table-lerp exact by construction), "
+                "not a serving path; the lerp path above serves the "
+                "same semantics at speed"
             ),
             "fir_heavy_downsample_msamples_per_s": round(fir_heavy_msps, 1),
             "fir_heavy_downsample_input_msamples_per_s": round(

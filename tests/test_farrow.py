@@ -521,3 +521,82 @@ def test_wide_random_u32_ratio_fuzz(seed):
                 of = np.asarray(out)[: int(p), 0]
                 assert np.isfinite(of).all()
                 assert np.median(np.abs(of - oy)) < 5e-5, (in_hz, out_hz)
+
+
+def test_lerp_path_matches_gather_everywhere():
+    """The SVD-factorized lerp path computes the gather oracle's exact
+    table-lerp semantics INCLUDING the phase-1023 clamp bins (unlike
+    farrow, which evaluates the continuous kernel there) — agreement to
+    the factorization floor on every output lane."""
+    cfg, coeffs = _build(44100, 88201, taps=32)
+    step_l = jax.jit(fe.make_fir_step(cfg, coeffs, path="lerp"))
+    step_g = jax.jit(fe.make_fir_step(cfg, coeffs, path="gather"))
+    sl = fe.fir_init(cfg)
+    sg = fe.fir_init(cfg)
+    rng = np.random.default_rng(2)
+    worst = 0.0
+    total = 0
+    for _ in range(6):
+        n = 512
+        chunk = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
+        nv = jnp.int32(int(rng.integers(1, n + 1)))
+        bud = jnp.int32(cfg.out_capacity)
+        sl, outl, cl, pl_ = step_l(sl, chunk, nv, bud)
+        sg, outg, cg, pg = step_g(sg, chunk, nv, bud)
+        assert int(cl) == int(cg) and int(pl_) == int(pg)
+        p = int(pl_)
+        if p:
+            worst = max(
+                worst,
+                float(
+                    np.abs(np.asarray(outl)[:p] - np.asarray(outg)[:p]).max()
+                ),
+            )
+            total += p
+    assert total > 1000
+    assert worst < 5e-6, worst  # SVD tol 1e-7 + f32 conv noise
+
+
+@pytest.mark.parametrize("in_hz,out_hz,taps", [
+    (44100, 44101, 64), (367500, 1601, 32), (48000, 44101, 128),
+])
+def test_lerp_path_ratio_sweep(in_hz, out_hz, taps):
+    cfg, coeffs = _build(in_hz, out_hz, taps=taps)
+    step_l = jax.jit(fe.make_fir_step(cfg, coeffs, path="lerp"))
+    step_g = jax.jit(fe.make_fir_step(cfg, coeffs, path="gather"))
+    sl, sg = fe.fir_init(cfg), fe.fir_init(cfg)
+    rng = np.random.default_rng(3)
+    got = 0
+    for _ in range(4):
+        chunk = jnp.asarray(rng.standard_normal((1024, 2)), jnp.float32)
+        bud = jnp.int32(cfg.out_capacity)
+        sl, outl, cl, pl_ = step_l(sl, chunk, jnp.int32(1024), bud)
+        sg, outg, cg, pg = step_g(sg, chunk, jnp.int32(1024), bud)
+        assert int(cl) == int(cg) and int(pl_) == int(pg)
+        p = int(pl_)
+        if p:
+            np.testing.assert_allclose(
+                np.asarray(outl)[:p], np.asarray(outg)[:p], atol=1e-5
+            )
+            got += p
+    assert got > 0
+
+
+def test_lerp_rank_is_small():
+    """The phase table's f32-accuracy numerical rank stays MXU-friendly."""
+    for taps in (32, 64, 128):
+        _, coeffs = _build(44100, 44101, taps=taps)
+        U, A = fe._table_svd_basis(coeffs)
+        assert A.shape[0] <= 40, (taps, A.shape)
+        T = np.asarray(coeffs, np.float64)
+        err = np.abs(U.astype(np.float64) @ A.astype(np.float64) - T).max()
+        assert err < 2e-6  # f32 storage of the f64 factors
+
+
+def test_lerp_path_rejects_wide():
+    cfg = fe.FirConfig(
+        channels=1, taps=16, ratio_num=600011, ratio_den=600013
+    )
+    coeffs = fe.fir_coefficients(16, Attenuation.Db90, 0.9)
+    with pytest.raises(ValueError, match="wide|farrow"):
+        fe.make_fir_step(cfg, coeffs, path="lerp")
