@@ -326,11 +326,18 @@ def make_fft_fleet_step_pool(
     operand read, so the materialized form pays 2*B*C*N*4 extra HBM
     bytes per step: measured 27% of the step at the bench shape).
 
-    ``step(state, pool [P, B, C, N], idx) -> (state', out [B, C, M])``
-    with ``state = {"prev_idx": int32}``.  Caller contract: the slot
-    ``state["prev_idx"]`` still holds the previous chunk when ``step``
-    runs (pool depth >= 2; start a stream by zero-filling the initial
-    ``prev_idx`` slot from ``fft_fleet_pool_init``).
+    ``step(state, pool [P, B*C, N], idx) -> (state', out [B, C, M])``
+    with ``state = {"prev_idx": int32}``.  The pool's slot layout is the
+    kernel's native row-major fleet form — producers write each slot as
+    ``chunk.reshape(B*C, N)`` (free for a [B, C, N] chunk).  Passing a
+    4-D ``[P, B, C, N]`` pool and reshaping INSIDE a jitted loop is the
+    one trap: XLA materializes the reshape as a full-pool copy on every
+    loop iteration to satisfy the pallas operand (measured 6.3 vs 15.9
+    Gsps at the bench shape — experiments/fft_pool_probe.py bisect).
+    Caller contract: the slot ``state["prev_idx"]`` still holds the
+    previous chunk when ``step`` runs (pool depth >= 2; start a stream
+    by zero-filling the initial ``prev_idx`` slot from
+    ``fft_fleet_pool_init``).
 
     Magsplit backend only (the pool read is the kernel's); other
     backends take the materialized ``make_fft_fleet_step`` — their XLA
@@ -368,9 +375,9 @@ def make_fft_fleet_step_pool(
 
     def step(state, pool, idx):
         P = pool.shape[0]
-        assert pool.shape == (P, B, C, n_in), pool.shape
+        assert pool.shape == (P, B * C, n_in), pool.shape
         out = magsplit_projector_pool(
-            pool.reshape(P, B * C, n_in),
+            pool,
             state["prev_idx"],
             idx,
             wh,

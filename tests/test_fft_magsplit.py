@@ -239,13 +239,13 @@ def test_pool_step_matches_materialized_fleet_step():
     step_p = fe.make_fft_fleet_step_pool(cfg, B, backend="magsplit")
     st_m = fe.fft_fleet_init(cfg, B, "magsplit")
     P = 3
-    pool = np.zeros((P, B, C, N), np.float32)
+    pool = np.zeros((P, B * C, N), np.float32)
     st_p = fe.fft_fleet_pool_init(prev_idx=2)  # slot 2 stays zero-filled
     rng = np.random.default_rng(4)
     for k in range(6):
         chunk = rng.standard_normal((B, C, N)).astype(np.float32)
         slot = k % 2
-        pool[slot] = chunk
+        pool[slot] = chunk.reshape(B * C, N)
         st_m, out_m = step_m(st_m, jnp.asarray(chunk))
         st_p, out_p = step_p(st_p, jnp.asarray(pool), jnp.int32(slot))
         assert int(st_p["prev_idx"]) == slot
