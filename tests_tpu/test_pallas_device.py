@@ -88,3 +88,60 @@ def test_pallas_sync_fleet_kernel_on_device():
             np.asarray(sa["buffer"]), np.asarray(sb["buffer"])
         )
         np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=2e-6)
+
+
+def test_magsplit_pool_matches_materialized_on_device():
+    """NON-interpret device differential for the zero-copy pool form:
+    scalar-prefetched slot index maps must read exactly the slot the
+    materialized step reads, across slot wraparound."""
+    from resampler_tpu.engine import fft as ffe
+
+    cfg = ffe.FftConfig(channels=2, fft_size_input=588, fft_size_output=1280)
+    B, C, N = 8, 2, 588  # B*C = 16 rows (>= one 8-row tile)
+    step_m = jax.jit(ffe.make_fft_fleet_step(cfg, B, backend="magsplit"))
+    step_p = jax.jit(ffe.make_fft_fleet_step_pool(cfg, B, backend="magsplit"))
+    st_m = ffe.fft_fleet_init(cfg, B, "magsplit")
+    P = 3
+    pool = np.zeros((P, B * C, N), np.float32)
+    st_p = ffe.fft_fleet_pool_init(prev_idx=2)
+    rng = np.random.default_rng(11)
+    for k in range(5):
+        chunk = rng.standard_normal((B, C, N)).astype(np.float32)
+        slot = k % 2
+        pool[slot] = chunk.reshape(B * C, N)
+        st_m, out_m = step_m(st_m, jnp.asarray(chunk))
+        st_p, out_p = step_p(st_p, jnp.asarray(pool), jnp.int32(slot))
+        np.testing.assert_array_equal(np.asarray(out_m), np.asarray(out_p))
+
+
+def test_grouped_atlas_dma_matches_xla_on_device():
+    """Small-M grouped periodic atlas through the manual-DMA contraction
+    (gM = 128 rows, gL 8-aligned) vs the XLA einsum form on device."""
+    B, C, n_in = 64, 2, 1024  # B*C = 128 (DMA lane gate)
+    L, M = reduce_ratio(48000, 96000)
+    cfg = fe.FirConfig(channels=C, taps=64, ratio_num=L, ratio_den=M)
+    assert fe._periodic_group_factor(L, M) > 1
+    cutoff = fe.fir_cutoff(64, Attenuation.Db90, 0.5)
+    coeffs = fe.fir_coefficients(64, Attenuation.Db90, cutoff)
+    rng = np.random.default_rng(7)
+    feeds = [
+        jnp.asarray(rng.standard_normal((1024, B * C)), jnp.float32)
+        for _ in range(2)
+    ]
+
+    def run(contraction):
+        step = jax.jit(fe.make_fir_fleet_step_sync_tm(
+            cfg, coeffs, B, max_chunk=1024, horizon=2,
+            contraction=contraction,
+        ))
+        st = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=1024, horizon=2)
+        outs = []
+        for f in feeds:
+            st, out, _, p = step(st, f, jnp.int32(1024))
+            outs.append(np.asarray(out)[:, : int(p)])
+        return outs
+
+    a = run("xla")
+    b = run("dma")
+    worst = max(float(np.abs(x - y).max()) for x, y in zip(a, b))
+    assert worst < 5e-6, worst
