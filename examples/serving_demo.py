@@ -166,9 +166,45 @@ def tier5_sync_arbitrary_ratio_with_slew():
           f"(both expected 1000.000)")
 
 
+def tier6_async_fleet_independent_phases():
+    print("== tier 6: ASYNC fleet — independent per-stream phases (11x) ==")
+    from resampler_tpu.engine.batched import BatchedResamplerFir
+
+    # Multi-tenant case: streams join mid-broadcast at arbitrary offsets
+    # (phases in 1/M input frames); one device step serves them all.
+    B, C, n = 4, 1, 2048
+    M = 44101
+    phases = np.array([0, M // 4, M // 2, 3 * M // 4])
+    fleet = BatchedResamplerFir(
+        B, C, 44100, 44101, Latency.Sample64, Attenuation.Db90,
+        synchronized=True, sync_variant="async_tm", max_chunk=n,
+        initial_positions=phases,
+    )
+    k = np.arange(8 * n)
+    x = np.sin(2 * np.pi * 1000.0 * k / 44100).astype(np.float32)
+    xs = np.broadcast_to(x, (B, len(k))).copy()[:, :, None]
+    ys = [[] for _ in range(B)]
+    for i in range(8):
+        out, cons, prod, _ = fleet.resample(xs[:, i * n : (i + 1) * n])
+        for b in range(B):
+            ys[b].append(np.asarray(out)[b, : int(prod[b]), 0])
+    # per-stream drift correction works per stream on the async fleet
+    applied = fleet.slew(np.array([0.5, 0.0, 0.0, 0.0]))
+    y0, y2 = np.concatenate(ys[0]), np.concatenate(ys[2])
+    # distinct initial phases -> time-shifted but equally clean tones
+    def hz(y):
+        seg = y[2000:-2000]
+        zc = np.where((seg[:-1] < 0) & (seg[1:] >= 0))[0]
+        return (len(zc) - 1) / ((zc[-1] - zc[0]) / 44101)
+    print(f"  4 tenants at offsets {phases.tolist()} (subframes): "
+          f"stream 0 {hz(y0):.3f} Hz, stream 2 {hz(y2):.3f} Hz "
+          f"(expected 1000.000); per-stream slew applied {applied[0]:.3f}")
+
+
 if __name__ == "__main__":
     tier1_streaming_fleet()
     tier2_time_major_sync()
     tier3_checkpoint()
     tier4_fft_fleet()
     tier5_sync_arbitrary_ratio_with_slew()
+    tier6_async_fleet_independent_phases()
