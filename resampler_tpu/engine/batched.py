@@ -232,7 +232,7 @@ class BatchedResamplerFir:
             pos = np.asarray(
                 [int(h) * M + int(l) for h, l in zip(hi, lo)], object
             )
-            if self.synchronized:
+            if self.synchronized and not self._async:
                 pos = pos.reshape(())
         else:
             pos = np.asarray(self._state["pos_num"], np.int64)

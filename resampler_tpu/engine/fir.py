@@ -1993,6 +1993,13 @@ def make_fir_fleet_step_async_tm(
     each fleet step is one dispatch, so a handful of ratio groups costs a
     handful of dispatches, not a per-stream loop.
 
+    WIDE pairs (beyond the int32 schedule envelope) are supported with the
+    same structure: per-stream positions carried as ``(pos_hi, pos_lo)``
+    uint32 pairs (exact frames + subframe numerator, as in
+    ``_make_wide_step``), residue arithmetic exact mod 2^32, and the
+    fleet-min emission count taken from the lexicographic-laggard stream's
+    static emission mask.
+
     ``step(state, chunks_tm [n<=max_chunk, B*C], n_valid) ->
     (state', out, consumed, produced)``; ``out`` is ``[B, out_cap, C]``
     ("bm", default) or time-major ``[out_cap, B*C]`` ("tm").  All streams
@@ -2001,11 +2008,6 @@ def make_fir_fleet_step_async_tm(
     the skew invariant.  (reference per-stream generality:
     src/resampler_fir.rs:542-590.)
     """
-    if config.wide:
-        raise ValueError(
-            "the async tm fleet supports int32-envelope ratios; wide u32 "
-            "pairs use the sync tm fleet or the vmapped engine"
-        )
     if out_layout not in ("bm", "tm"):
         raise ValueError(
             f"out_layout must be 'bm' ([B, out_cap, C]) or 'tm' "
@@ -2027,10 +2029,18 @@ def make_fir_fleet_step_async_tm(
     degree = FARROW_DEGREE
     d1 = degree + 1
     n_shift = skew_periods + 2  # base residual [0, skew] + wrap carry
+    wide = config.wide
 
     i = np.arange(out_cap, dtype=np.int64)
-    j_np = ((i * L_) // M_).astype(np.int32)
-    s_np = ((i * L_) % M_).astype(np.int32)
+    j_i64 = (i * L_) // M_
+    if wide:
+        # lanes whose static row offset exceeds the buffer can never be
+        # emitted (the emission mask caps n_out first); clamping keeps the
+        # take/region geometry bounded for any u32 ratio while the masked
+        # lanes read harmless rows (see _convolve_farrow's wide clamp)
+        j_i64 = np.minimum(j_i64, cap + 2)
+    j_np = j_i64.astype(np.int32)
+    s_np = ((i * L_) % M_).astype(np.uint32 if wide else np.int32)
     j_max = int(j_np[-1])
     p_len = j_max + n_shift  # take indices reach j_max + n_shift - 1
 
@@ -2050,8 +2060,24 @@ def make_fir_fleet_step_async_tm(
     ab_c = jnp.asarray(ab)
     j_c = jnp.asarray(j_np)
     s_c = jnp.asarray(s_np)
-    L = jnp.int32(L_)
-    M = jnp.int32(M_)
+    if wide:
+        # WIDE emission/consume tables — same bookkeeping as the sync tm
+        # fleet's wide branch, but evaluated at the lexicographic-laggard
+        # stream (fleet-min schedule) and with per-stream carries.
+        j_lane_c = jnp.asarray(
+            np.minimum(j_i64, cap + 2).astype(np.uint32)
+        )
+        n_l = np.arange(out_cap + 1, dtype=np.int64)
+        nl_hi_c = jnp.asarray(
+            np.minimum((n_l * L_) // M_, (1 << 32) - 1).astype(np.uint32)
+        )
+        nl_lo_c = jnp.asarray(((n_l * L_) % M_).astype(np.uint32))
+        M_u = jnp.uint32(M_)
+        taps_u = jnp.uint32(taps)
+        u32_max = jnp.uint32((1 << 32) - 1)
+    else:
+        L = jnp.int32(L_)
+        M = jnp.int32(M_)
 
     def step(state: FirState, chunks_tm, n_valid):
         chunks_tm = chunks_tm.astype(jnp.float32)
@@ -2062,7 +2088,11 @@ def make_fir_fleet_step_async_tm(
         buffer = state["buffer"]
         start = state["start"]
         fill = state["fill"]
-        pos = state["pos_num"]  # [B] int32, per-stream
+        if wide:
+            pos_hi = state["pos_hi"]  # [B] uint32 frames, per-stream
+            pos_lo = state["pos_lo"]  # [B] uint32 subframe numerator
+        else:
+            pos = state["pos_num"]  # [B] int32, per-stream
         avail = fill - start
 
         # ---- append (in-place KV-cache DUS, same as the sync fleet) ----
@@ -2073,19 +2103,46 @@ def make_fir_fleet_step_async_tm(
         fill = fill + to_copy
         avail = avail + to_copy
 
-        # ---- fleet-min schedule: the laggard stream (max pos) bounds ----
-        n_out = _compute_n_out(config, jnp.max(pos), avail, jnp.int32(out_cap))
+        if wide:
+            # ---- fleet-min schedule: lexicographic-laggard emission ----
+            avail_u = jnp.asarray(avail, jnp.uint32)
+            mx_hi = jnp.max(pos_hi)
+            mx_lo = jnp.max(jnp.where(pos_hi == mx_hi, pos_lo, 0))
+            t_l = mx_lo + s_c                       # [N] u32
+            wrap_l = ((t_l < mx_lo) | (t_l >= M_u)).astype(jnp.uint32)
+            o1 = mx_hi + j_lane_c
+            o2 = o1 + wrap_l + taps_u
+            emit = (o1 >= mx_hi) & (o2 >= o1) & (o2 <= avail_u)
+            n_out = jnp.minimum(
+                jnp.sum(emit.astype(jnp.int32)), jnp.int32(out_cap)
+            ).astype(jnp.int32)
 
-        # ---- per-stream schedule residues (no gathers anywhere) ----
-        b0 = jnp.minimum(jnp.min(pos) // M, avail)  # shared frame skew
-        rel = pos - b0 * M                          # [B], in [0, n_shift*M)
-        base_rel = rel // M                         # [B]
-        r = rel - base_rel * M                      # [B], in [0, M)
-        wrap = (r[:, None] + s_c[None, :] >= M).astype(jnp.int32)  # [B, N]
-        shift = base_rel[:, None] + wrap            # [B, N]
-        frac = (
-            r[:, None] + s_c[None, :] - M * wrap
-        ).astype(jnp.float32) / jnp.float32(M_)
+            # ---- per-stream residues, exact mod-2^32 (no gathers) ----
+            b0_u = jnp.minimum(jnp.min(pos_hi), avail_u)
+            b0 = b0_u.astype(jnp.int32)             # shared frame skew
+            base_rel = (pos_hi - b0_u).astype(jnp.int32)  # [B]
+            t = pos_lo[:, None] + s_c[None, :]      # [B, N] u32
+            wrap_b = (t < pos_lo[:, None]) | (t >= M_u)
+            rem = jnp.where(wrap_b, t - M_u, t)
+            wrap = wrap_b.astype(jnp.int32)
+            shift = base_rel[:, None] + wrap        # [B, N]
+            frac = rem.astype(jnp.float32) / np.float32(M_)
+        else:
+            # ---- fleet-min schedule: the laggard (max pos) bounds ----
+            n_out = _compute_n_out(
+                config, jnp.max(pos), avail, jnp.int32(out_cap)
+            )
+
+            # ---- per-stream schedule residues (no gathers anywhere) ----
+            b0 = jnp.minimum(jnp.min(pos) // M, avail)  # shared frame skew
+            rel = pos - b0 * M                      # [B], in [0, n_shift*M)
+            base_rel = rel // M                     # [B]
+            r = rel - base_rel * M                  # [B], in [0, M)
+            wrap = (r[:, None] + s_c[None, :] >= M).astype(jnp.int32)
+            shift = base_rel[:, None] + wrap        # [B, N]
+            frac = (
+                r[:, None] + s_c[None, :] - M * wrap
+            ).astype(jnp.float32) / jnp.float32(M_)
         u = 2.0 * frac - 1.0
         ts = [jnp.ones_like(u), u]
         for _ in range(d1 - 2):
@@ -2126,10 +2183,29 @@ def make_fir_fleet_step_async_tm(
             out = jnp.transpose(out.reshape(out_cap, B, C), (1, 0, 2))
 
         # ---- consume: shared scalar + per-stream residual into pos ----
-        pos_after = pos + n_out * L                      # [B]
-        consumed = jnp.minimum(jnp.min(pos_after) // M, avail)
-        start = start + consumed
-        pos_new = pos_after - consumed * M
+        if wide:
+            # static (hi, lo) stride at n_out + per-stream carry; exact
+            # mod-2^32 with saturation (see the sync tm wide consume)
+            d_hi = jnp.take(nl_hi_c, n_out)
+            d_lo = jnp.take(nl_lo_c, n_out)
+            t2 = pos_lo + d_lo                           # [B] u32
+            carry = (t2 < pos_lo) | (t2 >= M_u)
+            lo_after = jnp.where(carry, t2 - M_u, t2)
+            hi_raw = pos_hi + d_hi + carry.astype(jnp.uint32)
+            hi_after = jnp.where(hi_raw < pos_hi, u32_max, hi_raw)
+            consumed = jnp.minimum(
+                jnp.min(hi_after), jnp.asarray(avail, jnp.uint32)
+            ).astype(jnp.int32)
+            start = start + consumed
+            pos_state = dict(
+                pos_hi=hi_after - jnp.asarray(consumed, jnp.uint32),
+                pos_lo=lo_after,
+            )
+        else:
+            pos_after = pos + n_out * L                  # [B]
+            consumed = jnp.minimum(jnp.min(pos_after) // M, avail)
+            start = start + consumed
+            pos_state = dict(pos_num=pos_after - consumed * M)
 
         # ---- amortized compaction (same as the sync fleet) ----
         def compact(args):
@@ -2149,7 +2225,7 @@ def make_fir_fleet_step_async_tm(
         )
 
         new_state = FirState(
-            buffer=buffer, start=start, fill=fill, pos_num=pos_new
+            buffer=buffer, start=start, fill=fill, **pos_state
         )
         return new_state, out, to_copy, n_out
 
@@ -2166,39 +2242,53 @@ def fir_fleet_init_async_tm(
     skew_periods: int = 1,
 ) -> FirState:
     """Initial state for ``make_fir_fleet_step_async_tm``.  ``pos_num``
-    (optional ``[n_streams]`` int32) sets per-stream initial subframe
-    positions; the skew invariant ``max - min < skew_periods * M`` is
-    checked here (the step preserves the spread exactly)."""
+    (optional ``[n_streams]`` integer array) sets per-stream initial
+    subframe positions (units of 1/M input frames; exact Python ints OK
+    for wide pairs); the skew invariant ``max - min < skew_periods * M``
+    is checked here (the step preserves the spread exactly)."""
     ring = -(
         -(config.input_capacity + config.read_slack + horizon * max_chunk)
         // 256
     ) * 256
+    M_ = config.ratio_den
     if pos_num is None:
-        pos = np.zeros(n_streams, np.int32)
+        pos = np.zeros(n_streams, object)
     else:
-        pos = np.asarray(pos_num, np.int64)
+        pos = np.asarray(
+            [int(p) for p in np.asarray(pos_num).reshape(-1)], object
+        )
         if pos.shape != (n_streams,):
             raise ValueError(
                 f"pos_num must have shape ({n_streams},), got {pos.shape}"
             )
-        if pos.min() < 0:
+        if min(pos) < 0:
             raise ValueError("initial positions must be non-negative")
-        if int(pos.max() - pos.min()) >= skew_periods * config.ratio_den:
+        if int(max(pos) - min(pos)) >= skew_periods * M_:
             raise ValueError(
-                f"position spread {int(pos.max() - pos.min())} violates the "
+                f"position spread {int(max(pos) - min(pos))} violates the "
                 f"skew invariant (< skew_periods*M = "
-                f"{skew_periods * config.ratio_den}); widen skew_periods or "
+                f"{skew_periods * M_}); widen skew_periods or "
                 "use the vmapped engine"
             )
-        pos = pos.astype(np.int32)
-    return FirState(
+    state = FirState(
         buffer=jnp.zeros(
             (ring, n_streams * config.channels), jnp.float32
         ),
         start=jnp.zeros((), jnp.int32),
         fill=jnp.zeros((), jnp.int32),
-        pos_num=jnp.asarray(pos),
     )
+    if config.wide:
+        state["pos_hi"] = jnp.asarray(
+            np.asarray([int(p) // M_ for p in pos], np.uint32)
+        )
+        state["pos_lo"] = jnp.asarray(
+            np.asarray([int(p) % M_ for p in pos], np.uint32)
+        )
+    else:
+        state["pos_num"] = jnp.asarray(
+            np.asarray([int(p) for p in pos], np.int32)
+        )
+    return state
 
 
 # --------------------------------------------------------------------------

@@ -42,7 +42,11 @@ def _run_pair(in_hz, out_hz, taps, phases, n_steps=10, chunk=512,
     ps_states = []
     for ph in phases:
         st = fe.fir_init(cfg)
-        st["pos_num"] = jnp.int32(ph)
+        if cfg.wide:
+            st["pos_hi"] = jnp.uint32(int(ph) // M)
+            st["pos_lo"] = jnp.uint32(int(ph) % M)
+        else:
+            st["pos_num"] = jnp.int32(ph)
         ps_states.append(st)
     rng = np.random.default_rng(7)
     fleet_seq = [[] for _ in range(B)]
@@ -152,14 +156,32 @@ def test_async_fleet_init_validation():
         fe.fir_fleet_init_async_tm(
             cfg, 2, max_chunk=256, pos_num=np.asarray([-1, 0])
         )
-    wide_cfg = fe.FirConfig(
-        channels=1, taps=16, ratio_num=600011, ratio_den=600013
+
+
+def test_async_fleet_wide_pair_matches_per_stream():
+    """WIDE (u32 two-word schedule) pairs run on the async fleet with
+    per-stream positions; outputs equal the per-stream wide engine's
+    sequences at distinct initial phases."""
+    M = 600013  # reduced den > MAX_REDUCED_RATE -> wide
+    phases = [0, M // 2, M - 7]
+    fleet, ps = _run_pair(600011, 600013, 32, phases=phases)
+    assert not np.allclose(fleet[0][:200], fleet[1][:200], atol=1e-4)
+    for f, r in zip(fleet, ps):
+        assert len(f) > 1000
+        np.testing.assert_allclose(f, r[: len(f)], atol=2e-5)
+
+
+def test_async_fleet_wide_ragged_feed_and_compaction():
+    feed = [512, 0, 300, 512, 17, 512, 0, 512, 512, 512, 400, 512]
+    M = 600013
+    phases = [5, M // 3, M - 1]
+    fleet, ps = _run_pair(
+        600011, 600013, 32, phases=phases, n_steps=len(feed),
+        feed_valid=feed, horizon=2,
     )
-    coeffs = fe.fir_coefficients(16, Attenuation.Db90, 0.9)
-    with pytest.raises(ValueError, match="wide"):
-        fe.make_fir_fleet_step_async_tm(
-            wide_cfg, coeffs, 2, max_chunk=256
-        )
+    for f, r in zip(fleet, ps):
+        assert len(f) > 1500
+        np.testing.assert_allclose(f, r[: len(f)], atol=2e-5)
 
 
 def test_async_fleet_max_out_defers():
@@ -268,6 +290,52 @@ def test_batched_wrapper_async_slew():
     assert abs(applied[0] - 0.25) < 1e-4 and applied[1] == 0.0
     with pytest.raises(ValueError, match="spread"):
         eng.slew(np.asarray([10.0, -10.0]))  # spread 20 frames > M/M
+
+
+def test_batched_wrapper_async_wide():
+    """The async wrapper serves WIDE pairs: per-stream join phases and
+    per-stream slew on the two-word u32 schedule."""
+    from resampler_tpu.engine.batched import BatchedResamplerFir
+    from resampler_tpu.types import Latency
+
+    B, C, chunk = 2, 2, 512
+    M = 600013
+    phases = np.asarray([0, M // 2], object)
+    eng = BatchedResamplerFir(
+        B, C, 600011, 600013, Latency.Sample32, Attenuation.Db90,
+        synchronized=True, sync_variant="async_tm", max_chunk=chunk,
+        initial_positions=phases,
+    )
+    ref = BatchedResamplerFir(
+        B, C, 600011, 600013, Latency.Sample32, Attenuation.Db90,
+        path="farrow",
+    )
+    ref.state = dict(
+        ref.state,
+        pos_hi=jnp.asarray([int(p) // M for p in phases], jnp.uint32),
+        pos_lo=jnp.asarray([int(p) % M for p in phases], jnp.uint32),
+    )
+    rng = np.random.default_rng(11)
+    got = [[] for _ in range(B)]
+    want = [[] for _ in range(B)]
+    for _ in range(5):
+        chunks = rng.standard_normal((B, chunk, C)).astype(np.float32)
+        out, c, p, _ = eng.resample(chunks)
+        out = np.asarray(out)
+        for b in range(B):
+            got[b].append(out[b, : int(np.asarray(p)[b])])
+        out, c, p, _ = ref.resample(chunks)
+        out = np.asarray(out)
+        for b in range(B):
+            want[b].append(np.asarray(out)[b, : int(np.asarray(p)[b])])
+    for b in range(B):
+        g = np.concatenate(got[b])
+        w = np.concatenate(want[b])
+        assert len(g) > 1500
+        np.testing.assert_allclose(g, w[: len(g)], atol=2e-5)
+    # per-stream slew applies on the wide two-word state
+    applied = eng.slew(np.asarray([0.25, 0.0]))
+    assert abs(applied[0] - 0.25) < 1e-4 and applied[1] == 0.0
 
 
 def test_streaming_fleet_async_mode():
