@@ -381,3 +381,51 @@ def test_farrow_dma_contraction_gates_lane_width():
         fe.make_fir_fleet_step_sync_tm(
             cfg, coeffs, 4, max_chunk=1024, contraction="dma"
         )
+
+
+def test_batched_fft_resample_many_matches_loop():
+    """The one-dispatch multi-chunk tier must be stream-equivalent to a
+    loop of single resample() calls on BOTH implementations: the
+    zero-copy pool scan (magsplit backend — chunk t reads its prev from
+    slot t-1 of the caller's stack) and the plain step scan (matmul).
+    Also checks interop: a single-step call after resample_many carries
+    the right prev state."""
+    B, C, T = 4, 2, 5
+    rng = np.random.default_rng(11)
+    for backend in ("magsplit", "matmul"):
+        a = BatchedResamplerFft(
+            B, C, SampleRate.Hz44100, SampleRate.Hz48000, backend=backend
+        )
+        b = BatchedResamplerFft(
+            B, C, SampleRate.Hz44100, SampleRate.Hz48000, backend=backend
+        )
+        n_in = a.config.fft_size_input
+        chunks = rng.standard_normal((T, B, C, n_in)).astype(np.float32)
+
+        out_many = np.asarray(a.resample_many(chunks))
+        out_loop = np.stack(
+            [np.asarray(b.resample(chunks[t])) for t in range(T)]
+        )
+        np.testing.assert_array_equal(out_many, out_loop)
+
+        # interop: the carried state after the batch is chunk T-1
+        tail = rng.standard_normal((B, C, n_in)).astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(a.resample(tail)), np.asarray(b.resample(tail))
+        )
+
+
+def test_batched_fft_resample_many_sharded_over_mesh():
+    B, C, T = 8, 1, 3
+    rng = np.random.default_rng(12)
+    plain = BatchedResamplerFft(B, C, SampleRate.Hz48000, SampleRate.Hz96000)
+    sharded = BatchedResamplerFft(
+        B, C, SampleRate.Hz48000, SampleRate.Hz96000, mesh=stream_mesh()
+    )
+    n_in = plain.config.fft_size_input
+    chunks = rng.standard_normal((T, B, C, n_in)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(plain.resample_many(chunks)),
+        np.asarray(sharded.resample_many(chunks)),
+        atol=1e-5,
+    )
