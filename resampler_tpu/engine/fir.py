@@ -1964,10 +1964,18 @@ def make_fir_fleet_step_async_tm(
     3. resolves the per-stream schedule WITHOUT gathers: output ``i`` of
        stream ``b`` needs ``sum_d T_d(u_i^b) * y[j_i + shift_i^b, d]``
        where ``j_i`` is the STATIC shared offset table and
-       ``shift_i^b = base_b + wrap_i^b`` is bounded by
-       ``skew_periods + 1`` — so the data movement is ``skew_periods + 2``
-       static row-takes of ``y`` and an elementwise select, and the only
-       per-stream compute is the Chebyshev combine (``d1`` MACs/output).
+       ``shift_i^b = base_b + wrap_i^b``.  The per-stream frame skew
+       ``base_b`` is rolled into the REGION read (a ``skew_periods +
+       1``-way select over the small ``[region_rows, R]`` slice — cheap),
+       so the combine selects on the single wrap bit only: TWO static
+       row-takes of ``y`` fused with the Chebyshev combine in one
+       expression, no materialized per-shift candidates (measured 0.699
+       -> 0.576 ms/step at the bench config,
+       experiments/fir_async_ablation4_probe.py; the alternatives —
+       additive masked weights, per-degree loop accumulation, a manual-
+       DMA contraction on the shifted region, Mosaic dynamic_gather —
+       all measured worse or failed to compile, ablation4/5 +
+       mosaic_gather_probe).
 
     ``max_out`` (optional) bounds the static output lanes per step below
     ``config.out_capacity``: a serving loop feeding ``chunk`` frames per
@@ -2028,7 +2036,6 @@ def make_fir_fleet_step_async_tm(
     ring = -(-(cap + slack + horizon * max_chunk) // 256) * 256
     degree = FARROW_DEGREE
     d1 = degree + 1
-    n_shift = skew_periods + 2  # base residual [0, skew] + wrap carry
     wide = config.wide
 
     i = np.arange(out_cap, dtype=np.int64)
@@ -2042,7 +2049,7 @@ def make_fir_fleet_step_async_tm(
     j_np = j_i64.astype(np.int32)
     s_np = ((i * L_) % M_).astype(np.uint32 if wide else np.int32)
     j_max = int(j_np[-1])
-    p_len = j_max + n_shift  # take indices reach j_max + n_shift - 1
+    p_len = j_max + 2  # takes reach j_max + 1 (the wrap row)
 
     # Banded basis atlas: y[k*Lb + p, d, r] = sum_t A[d, t] * region[
     # k*Lb + p + t, r] as ONE einsum [Lb*d1, s_len] x [Kc, s_len, R].
@@ -2051,7 +2058,10 @@ def make_fir_fleet_step_async_tm(
     p_pad = Kc * Lb
     s_len_c = Lb + taps - 1
     region_rows = p_pad + taps - 1
-    assert region_rows <= slack, (region_rows, slack)
+    # the region read is widened by skew_periods rows so the per-stream
+    # frame skew can be rolled into it (same total reach as the old
+    # p_len = j_max + skew_periods + 2 take geometry)
+    assert region_rows + skew_periods <= slack, (region_rows, slack)
 
     A, _ = farrow_matrix(coeffs, degree)
     ab = np.zeros((Lb * d1, s_len_c), np.float32)
@@ -2124,8 +2134,6 @@ def make_fir_fleet_step_async_tm(
             t = pos_lo[:, None] + s_c[None, :]      # [B, N] u32
             wrap_b = (t < pos_lo[:, None]) | (t >= M_u)
             rem = jnp.where(wrap_b, t - M_u, t)
-            wrap = wrap_b.astype(jnp.int32)
-            shift = base_rel[:, None] + wrap        # [B, N]
             frac = rem.astype(jnp.float32) / np.float32(M_)
         else:
             # ---- fleet-min schedule: the laggard (max pos) bounds ----
@@ -2135,13 +2143,13 @@ def make_fir_fleet_step_async_tm(
 
             # ---- per-stream schedule residues (no gathers anywhere) ----
             b0 = jnp.minimum(jnp.min(pos) // M, avail)  # shared frame skew
-            rel = pos - b0 * M                      # [B], in [0, n_shift*M)
-            base_rel = rel // M                     # [B]
+            rel = pos - b0 * M
+            base_rel = rel // M                     # [B], in [0, skew]
             r = rel - base_rel * M                  # [B], in [0, M)
-            wrap = (r[:, None] + s_c[None, :] >= M).astype(jnp.int32)
-            shift = base_rel[:, None] + wrap        # [B, N]
+            wrap_b = r[:, None] + s_c[None, :] >= M  # [B, N] bool
             frac = (
-                r[:, None] + s_c[None, :] - M * wrap
+                r[:, None] + s_c[None, :]
+                - M * wrap_b.astype(jnp.int32)
             ).astype(jnp.float32) / jnp.float32(M_)
         u = 2.0 * frac - 1.0
         ts = [jnp.ones_like(u), u]
@@ -2149,10 +2157,26 @@ def make_fir_fleet_step_async_tm(
             ts.append(2.0 * u * ts[-1] - ts[-2])
         v = jnp.stack(ts, axis=-1)                  # [B, N, d1]
 
-        # ---- ONE fleet-wide basis-response contraction (banded atlas) ----
-        region = jax.lax.dynamic_slice(
-            buffer, (start + b0, 0), (region_rows, R)
+        # ---- region read with the per-stream frame skew rolled in ----
+        # base_rel is a per-STREAM constant (the step advances every
+        # position by the same n_out*L), so it is absorbed here as a
+        # (skew_periods+1)-way select over the SMALL region slice instead
+        # of over the [N, d1, R] basis responses; when starved states
+        # push base_rel past skew_periods the fall-through rows are
+        # harmless — the laggard's n_out is 0 and every lane is masked
+        reg = jax.lax.dynamic_slice(
+            buffer, (start + b0, 0), (region_rows + skew_periods, R)
         )
+        base_lane = jnp.repeat(base_rel, C)              # [R]
+        region = jax.lax.slice_in_dim(reg, 0, region_rows, axis=0)
+        for sk in range(1, skew_periods + 1):
+            region = jnp.where(
+                base_lane[None, :] == sk,
+                jax.lax.slice_in_dim(reg, sk, sk + region_rows, axis=0),
+                region,
+            )
+
+        # ---- ONE fleet-wide basis-response contraction (banded atlas) ----
         segs = jnp.stack(
             [
                 jax.lax.slice_in_dim(region, k * Lb, k * Lb + s_len_c, axis=0)
@@ -2166,16 +2190,12 @@ def make_fir_fleet_step_async_tm(
             precision=jax.lax.Precision.HIGHEST,
         ).reshape(p_pad, d1, R)
 
-        # ---- static shift-takes + Chebyshev combine + select ----
+        # ---- wrap-only takes + Chebyshev combine, one fused expr ----
         vs = jnp.transpose(v, (1, 2, 0))[:, :, :, None]  # [N, d1, B, 1]
-        shift_t = jnp.transpose(shift)[:, :, None]       # [N, B, 1]
-        out = None
-        for s in range(n_shift - 1, -1, -1):
-            ys = jnp.take(y, j_c + s, axis=0)            # [N, d1, R] static
-            o_s = jnp.sum(
-                ys.reshape(out_cap, d1, B, C) * vs, axis=1
-            )  # [N, B, C]
-            out = o_s if out is None else jnp.where(shift_t == s, o_s, out)
+        wrap_t = jnp.transpose(wrap_b)[:, None, :, None]  # [N, 1, B, 1]
+        y0 = jnp.take(y, j_c, axis=0).reshape(out_cap, d1, B, C)
+        y1 = jnp.take(y, j_c + 1, axis=0).reshape(out_cap, d1, B, C)
+        out = jnp.sum(jnp.where(wrap_t, y1, y0) * vs, axis=1)
         out = out.reshape(out_cap, R)
         lane = jnp.arange(out_cap, dtype=jnp.int32)
         out = jnp.where((lane < n_out)[:, None], out, 0.0)
