@@ -167,7 +167,7 @@ def tier5_sync_arbitrary_ratio_with_slew():
 
 
 def tier6_async_fleet_independent_phases():
-    print("== tier 6: ASYNC fleet — independent per-stream phases (11x) ==")
+    print("== tier 6: ASYNC fleet — independent per-stream phases (13x) ==")
     from resampler_tpu.engine.batched import BatchedResamplerFir
 
     # Multi-tenant case: streams join mid-broadcast at arbitrary offsets
