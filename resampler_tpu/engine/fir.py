@@ -2001,6 +2001,14 @@ def make_fir_fleet_step_async_tm(
     each fleet step is one dispatch, so a handful of ratio groups costs a
     handful of dispatches, not a per-stream loop.
 
+    MULTI-CHIP: the step is pure XLA (the contraction is an einsum), so
+    it needs no mesh parameter — place the state with ``shard_lanes``
+    (ring lanes + per-stream positions sharded over the stream axis) and
+    GSPMD partitions everything; the fleet-min/max schedule reductions
+    (``max(pos)``/``min(pos)``/``min(pos_after)``) lower to scalar
+    all-reduces over ICI.  Differentially tested vs the unmeshed step on
+    the 8-device CPU mesh (test_async_fleet.py).
+
     WIDE pairs (beyond the int32 schedule envelope) are supported with the
     same structure: per-stream positions carried as ``(pos_hi, pos_lo)``
     uint32 pairs (exact frames + subframe numerator, as in

@@ -380,3 +380,77 @@ def test_async_fleet_masked_lanes_zero():
     p = int(p)
     assert 0 < p < cfg.out_capacity
     assert np.all(np.asarray(out)[:, p:, :] == 0.0)
+
+
+def test_async_fleet_sharded_over_mesh():
+    """The async step is pure XLA, so a mesh-sharded fleet (shard_lanes
+    placement: ring lanes + per-stream positions over the stream axis)
+    must match the unmeshed fleet through GSPMD auto-partitioning —
+    including across compactions and the wide branch."""
+    from resampler_tpu.parallel.sharding import shard_lanes, stream_mesh
+
+    mesh = stream_mesh()
+    B, C, CH = 16, 2, 256
+    for in_hz, out_hz in ((44100, 44101), (4000000000, 4000000001)):
+        L, M = reduce_ratio(in_hz, out_hz)
+        cfg = fe.FirConfig(channels=C, taps=32, ratio_num=L, ratio_den=M)
+        cutoff = fe.fir_cutoff(32, Attenuation.Db90, in_hz / out_hz)
+        coeffs = fe.fir_coefficients(32, Attenuation.Db90, cutoff)
+        step = jax.jit(
+            fe.make_fir_fleet_step_async_tm(
+                cfg, coeffs, B, max_chunk=CH, horizon=8, max_out=CH + 64
+            )
+        )
+        rng = np.random.default_rng(7)
+        phases = rng.integers(0, min(M, 1 << 20), size=B)
+        plain = fe.fir_fleet_init_async_tm(
+            cfg, B, max_chunk=CH, horizon=8, pos_num=phases
+        )
+        meshed = shard_lanes(jax.tree.map(np.asarray, plain), mesh)
+        assert len(meshed["buffer"].sharding.device_set) == 8
+        for _ in range(30):  # enough steps to cross a compaction
+            chunk = jnp.asarray(
+                rng.standard_normal((CH, B * C)), jnp.float32
+            )
+            plain, o_p, c_p, n_p = step(plain, chunk, jnp.int32(CH))
+            meshed, o_m, c_m, n_m = step(meshed, chunk, jnp.int32(CH))
+            assert int(n_p) == int(n_m) and int(c_p) == int(c_m)
+            np.testing.assert_allclose(
+                np.asarray(o_p), np.asarray(o_m), atol=2e-5
+            )
+        # the state stays sharded across steps (GSPMD propagated it)
+        assert len(meshed["buffer"].sharding.device_set) == 8
+
+
+def test_batched_wrapper_async_mesh():
+    """The async wrapper takes a mesh: outputs match the unmeshed
+    wrapper and the state lands distributed."""
+    from resampler_tpu.engine.batched import BatchedResamplerFir
+    from resampler_tpu.parallel.sharding import stream_mesh
+    from resampler_tpu.types import Latency
+
+    B, C, chunk = 8, 2, 256
+    phases = np.arange(B) * 100
+    kw = dict(
+        synchronized=True, sync_variant="async_tm", max_chunk=chunk,
+        initial_positions=phases,
+    )
+    plain = BatchedResamplerFir(
+        B, C, 44100, 44101, Latency.Sample32, Attenuation.Db90, **kw
+    )
+    meshed = BatchedResamplerFir(
+        B, C, 44100, 44101, Latency.Sample32, Attenuation.Db90,
+        mesh=stream_mesh(), **kw
+    )
+    assert len(meshed.state["buffer"].sharding.device_set) == 8
+    rng = np.random.default_rng(13)
+    for _ in range(4):
+        chunks = rng.standard_normal((B, chunk, C)).astype(np.float32)
+        o_p, c_p, p_p, _ = plain.resample(chunks)
+        o_m, c_m, p_m, _ = meshed.resample(chunks)
+        np.testing.assert_allclose(
+            np.asarray(o_p), np.asarray(o_m), atol=2e-5
+        )
+    # per-stream slew still works on the meshed fleet
+    applied = meshed.slew(np.asarray([0.25] + [0.0] * (B - 1)))
+    assert abs(applied[0] - 0.25) < 1e-4
