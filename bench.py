@@ -683,6 +683,12 @@ def main():
     # schedule — reference-parity capability at fleet throughput.
     fir_wide_msps = bench_fir(in_hz=600011, out_hz=600013)
     fir_arb_async_msps = bench_fir_arbitrary_async()
+    # WIDE pair on the ASYNC fleet: per-stream (hi, lo) uint32 positions
+    # on the shared ring, fleet-min schedule from the lexicographic
+    # laggard — arbitrary-u32 multi-tenant serving
+    fir_wide_async_msps = bench_fir_arbitrary_async(
+        in_hz=4000000000, out_hz=4000000001
+    )
     fir_arb_msps = bench_fir_arbitrary("farrow")
     # exact table-lerp SEMANTICS at farrow-class speed (SVD-factorized
     # table, engine/fir.py _convolve_lerp); the gather path below is the
@@ -722,6 +728,10 @@ def main():
             "fir_arbitrary_async_msamples_per_s": round(fir_arb_async_msps, 1),
             "fir_arbitrary_async_vs_reference": round(
                 fir_arb_async_msps / FIR_BASELINE_MSPS, 2
+            ),
+            "fir_wide_async_msamples_per_s": round(fir_wide_async_msps, 1),
+            "fir_wide_async_vs_reference": round(
+                fir_wide_async_msps / FIR_BASELINE_MSPS, 2
             ),
             "fir_arbitrary_msamples_per_s": round(fir_arb_msps, 1),
             "fir_arbitrary_vs_reference": round(
