@@ -56,6 +56,7 @@ class BatchedResamplerFir:
         horizon: int = 16,
         max_out: int | None = None,
         initial_positions=None,
+        skew_periods: int = 1,
     ) -> None:
         L, M = reduce_ratio(int(input_rate), int(output_rate))
         self._config = fir_engine.FirConfig(
@@ -73,7 +74,18 @@ class BatchedResamplerFir:
         # everything else batches on the leading axis.
         self._tm = synchronized and sync_variant in ("tm", "async_tm")
         self._async = synchronized and sync_variant == "async_tm"
+        self._skew_periods = skew_periods
         self._place = shard_lanes if self._tm else shard_batch
+        if initial_positions is not None and not self._async:
+            # only the async tm fleet honors per-stream start phases; a
+            # silent drop would give every stream phase 0 with no error
+            raise ValueError(
+                "initial_positions requires the async fleet "
+                "(synchronized=True, sync_variant='async_tm'); the "
+                f"{'synchronized' if synchronized else 'vmapped'} variant "
+                "shares one schedule or starts at phase 0 — use slew() to "
+                "set per-stream phases on the vmapped engine"
+            )
 
         if self._async:
             # ASYNC time-major fleet: shared chunk cadence (one scalar
@@ -95,6 +107,7 @@ class BatchedResamplerFir:
             tm_step = fir_engine.make_fir_fleet_step_async_tm(
                 self._config, coeffs, n_streams,
                 max_chunk=max_chunk, horizon=horizon, max_out=max_out,
+                skew_periods=skew_periods,
             )
             B, C = n_streams, channels
 
@@ -111,6 +124,7 @@ class BatchedResamplerFir:
             state = fir_engine.fir_fleet_init_async_tm(
                 self._config, n_streams, max_chunk=max_chunk,
                 horizon=horizon, pos_num=initial_positions,
+                skew_periods=skew_periods,
             )
         elif synchronized and sync_variant == "tm":
             # Phase-locked fleet on the TIME-MAJOR ring step — the
@@ -258,13 +272,14 @@ class BatchedResamplerFir:
             # init); an unbounded per-stream slew could silently break
             # that invariant, so refuse instead of corrupting outputs.
             spread = int((pos + applied).max() - (pos + applied).min())
-            if spread >= self._config.ratio_den:
+            limit = self._skew_periods * self._config.ratio_den
+            if spread >= limit:
                 raise ValueError(
                     f"per-stream slew would widen the fleet position "
-                    f"spread to {spread} (>= skew_periods*M = "
-                    f"{self._config.ratio_den}); the async tm fleet only "
-                    "tracks bounded drift — use the general (vmapped) "
-                    "fleet for unbounded per-stream skews"
+                    f"spread to {spread} (>= skew_periods*M = {limit}); "
+                    "the async tm fleet only tracks bounded drift — widen "
+                    "skew_periods or use the general (vmapped) fleet for "
+                    "unbounded per-stream skews"
                 )
         if np.any(applied != 0):
             new_pos = pos + applied
@@ -445,7 +460,21 @@ class BatchedResamplerFft:
             many = self._build_many(T)
             self._many_cache[T] = many
         if self._mesh is not None:
-            chunks = shard_batch(chunks, self._mesh)
+            # the chunk stack is [T, B, C, N] with the STREAM axis second;
+            # shard axis 1 to match the stream-sharded state (a leading-
+            # axis shard_batch here would split the time axis and force a
+            # GSPMD reshard on every call)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import STREAM_AXIS
+
+            n_dev = self._mesh.shape[STREAM_AXIS]
+            spec = (
+                P(None, STREAM_AXIS) if B % n_dev == 0 else P()
+            )
+            chunks = jax.device_put(
+                chunks, NamedSharding(self._mesh, spec)
+            )
         self._state, out = many(self._state, chunks)
         return out
 

@@ -44,6 +44,14 @@ class StreamingFleet:
         synchronized: bool | str = False,
         initial_positions=None,
     ) -> None:
+        if synchronized not in (True, False, "async"):
+            # only the exact string "async" selects the async fleet; any
+            # other truthy string would silently fall through to the
+            # phase-locked fleet and drop initial_positions
+            raise ValueError(
+                f"synchronized must be True, False, or 'async', "
+                f"not {synchronized!r}"
+            )
         self.n_streams = n_streams
         self.channels = channels
         self.chunk_frames = chunk_frames
