@@ -120,6 +120,7 @@ class BatchedResamplerFir:
                 peak = jnp.max(jnp.abs(out))
                 return new_state, out, consumed, produced, peak
 
+            self._step_fn = batched_step
             self._step = jax.jit(batched_step, donate_argnums=0)
             state = fir_engine.fir_fleet_init_async_tm(
                 self._config, n_streams, max_chunk=max_chunk,
@@ -154,6 +155,7 @@ class BatchedResamplerFir:
                 peak = jnp.max(jnp.abs(out))
                 return new_state, out, consumed, produced, peak
 
+            self._step_fn = batched_step
             self._step = jax.jit(batched_step, donate_argnums=0)
             state = fir_engine.fir_fleet_init_sync_tm(
                 self._config, n_streams, max_chunk=max_chunk, horizon=horizon
@@ -172,6 +174,7 @@ class BatchedResamplerFir:
                 peak = jnp.max(jnp.abs(out))
                 return new_state, out, consumed, produced, peak
 
+            self._step_fn = batched_step
             self._step = jax.jit(batched_step, donate_argnums=0)
             state = fir_engine.fir_fleet_init_sync(self._config, n_streams)
         else:
@@ -184,11 +187,13 @@ class BatchedResamplerFir:
                 peak = jnp.max(jnp.abs(out))  # fleet telemetry (one psum)
                 return new_state, out, consumed, produced, peak
 
+            self._step_fn = batched_step
             self._step = jax.jit(batched_step, donate_argnums=0)
             state = jax.vmap(lambda _: fir_engine.fir_init(self._config))(
                 jnp.arange(n_streams)
             )
         self._state = self._place(state, mesh) if mesh is not None else state
+        self._many_cache: dict = {}
 
     @property
     def config(self):
@@ -343,6 +348,107 @@ class BatchedResamplerFir:
             self._state, chunks, np.asarray(n_valid, np.int32), budget
         )
         return out, consumed, produced, peak
+
+    def resample_many(self, chunks: np.ndarray, n_valid=None):
+        """Step ``T`` consecutive chunks per stream in ONE device
+        dispatch: ``chunks [T, B, n, C]`` -> ``(out [T, B, out_cap, C],
+        consumed, produced, peak)`` — the FIR analog of
+        ``BatchedResamplerFft.resample_many`` (a ``lax.scan`` over the
+        fleet step, so file-length and bursty workloads pay ONE host
+        dispatch per batch instead of one per 2048-frame chunk;
+        reference analog: the CLI batch loop,
+        /root/reference/resample/src/main.rs:226-254).
+
+        ``n_valid``: optional per-chunk valid frame counts — ``[T]`` for
+        synchronized fleets (shared cadence), ``[T, B]`` for the vmapped
+        engine ([T] broadcasts).  Zero-valid chunks are no-ops, so a
+        fixed ``T`` bucket can be padded with empty chunks to keep one
+        compiled program.  ``consumed``/``produced`` come back per step:
+        ``[T]`` for synchronized fleets, ``[T, B]`` for the vmapped
+        engine.  The jitted program is cached per ``(T, n)``.
+
+        Loop-equivalence (bit-exactness vs T calls of ``resample``) is
+        tested in tests/test_batched.py.
+        """
+        chunks = np.asarray(chunks, np.float32)
+        T, B, n, C = chunks.shape
+        assert B == self.n_streams and C == self._config.channels
+        if self.synchronized:
+            if self._tm and n > self.max_chunk:
+                raise ValueError(
+                    f"chunk of {n} frames exceeds max_chunk="
+                    f"{self.max_chunk} (set max_chunk at construction "
+                    "for larger feeds)"
+                )
+            if n_valid is None:
+                nv = np.full((T,), n, np.int32)
+            else:
+                nv = np.asarray(n_valid, np.int32)
+                if nv.ndim == 2:
+                    nv = nv.min(axis=1)
+                assert nv.shape == (T,)
+        else:
+            if n_valid is None:
+                nv = np.full((T, B), n, np.int32)
+            else:
+                nv = np.asarray(n_valid, np.int32)
+                if nv.ndim == 1:
+                    nv = np.broadcast_to(nv[:, None], (T, B)).copy()
+                assert nv.shape == (T, B)
+        many = self._many_cache.get((T, n))
+        if many is None:
+            many = self._build_many()
+            self._many_cache[(T, n)] = many
+        if self._mesh is not None:
+            # stream axis is axis 1 of the [T, B, n, C] stack — shard it
+            # to match the stream-sharded state (leading-axis placement
+            # would split time and force a reshard per call)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.sharding import STREAM_AXIS
+
+            n_dev = self._mesh.shape[STREAM_AXIS]
+            spec = P(None, STREAM_AXIS) if B % n_dev == 0 else P()
+            chunks = jax.device_put(
+                chunks, NamedSharding(self._mesh, spec)
+            )
+        self._state, out, consumed, produced, peaks = many(
+            self._state, chunks, jnp.asarray(nv)
+        )
+        return out, consumed, produced, jnp.max(peaks)
+
+    def _build_many(self):
+        step_fn = self._step_fn
+        if self.synchronized:
+
+            def many(state, chunks4, nv):
+                def body(st, x):
+                    ch, v = x
+                    st, out, c, p, peak = step_fn(st, ch, v)
+                    return st, (out, c, p, peak)
+
+                state, (outs, cs, ps, peaks) = jax.lax.scan(
+                    body, state, (chunks4, nv)
+                )
+                return state, outs, cs, ps, peaks
+
+        else:
+            budget = jnp.full(
+                (self.n_streams,), self._config.out_capacity, jnp.int32
+            )
+
+            def many(state, chunks4, nv):
+                def body(st, x):
+                    ch, v = x
+                    st, out, c, p, peak = step_fn(st, ch, v, budget)
+                    return st, (out, c, p, peak)
+
+                state, (outs, cs, ps, peaks) = jax.lax.scan(
+                    body, state, (chunks4, nv)
+                )
+                return state, outs, cs, ps, peaks
+
+        return jax.jit(many, donate_argnums=0)
 
 
 class BatchedResamplerFft:

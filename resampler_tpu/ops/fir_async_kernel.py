@@ -1,0 +1,301 @@
+"""Fused Pallas contraction+combine for the ASYNC time-major FIR fleet.
+
+The XLA async step (engine/fir_fleets.py make_fir_fleet_step_async_tm)
+is traffic-bound: it materializes the basis responses ``y [p_pad, d1,
+R]`` in HBM (~36 MB at the bench config), reads them TWICE through the
+wrap takes, and pays a third pass for the per-stream region select —
+measured 0.221 (select) + 0.184 (contraction) + 0.103 (combine) ms of a
+0.576 ms step.  Mosaic ``dynamic_gather`` (which would fold the takes
+into one op) crashes this toolchain's backend compiler
+(experiments/mosaic_gather_probe.py), so this kernel removes the takes
+STATICALLY instead:
+
+- The grid runs over blocks of ``Nb = 64`` OUTPUT LANES.  Lane ``n``
+  needs the basis responses at buffer row ``j_n = (n*L)//M`` — a trace-
+  time constant — so a per-block banded atlas evaluates the responses
+  DIRECTLY AT each lane's row: atlas row ``(c, d, n)`` carries the
+  Farrow basis filter ``A[d]`` at column ``j_n - j_base_k + c``.  The
+  wrap bit's two candidate rows become the ``c in {0, 1}`` atlas
+  copies; the take disappears into the block's MXU dot
+  ``[2*d1*Nb, s_dma] x [s_dma, R]``.
+- The block's input rows stream straight from the HBM ring buffer via
+  double-buffered DMA (8-row-aligned; the remainder is absorbed by an
+  8-way static-slice switch on the landed segment — the workaround
+  vocabulary proven in ops/fir_sync_kernel.py / ops/fir_dma_kernel.py).
+- The per-stream frame skew ``base_rel in [0, skew_periods]`` becomes a
+  per-LANE static-shift select on the segment (same absorption as the
+  XLA step's region select, now in VMEM).
+- The per-(lane, stream) phase residues are computed IN KERNEL from the
+  streamed static split plane ``s_n = (n*L) % M`` and the per-stream
+  residue row ``r_b`` (all exact ints below 2^24 in f32): ``t = s + r``,
+  ``wrap = t >= M``, ``u = 2(t - M*wrap)/M - 1``, then the Chebyshev
+  recurrence and the wrap combine on the VPU — the XLA step's ~9 MB of
+  u/wrap planes and their [B, N] -> [N, R] relayout never exist.
+- Contraction precision: ``bf16x4`` (default on hardware) runs the four
+  double-bf16 products as four single-pass MXU dots (~-120 dB floor —
+  the sync fleet's proven tier; bf16x3/HIGH measured -78 dB on this
+  contraction and fails the 90 dB gates).  ``highest`` keeps the 6-pass
+  f32 form for differentials.
+
+(reference capability being scaled: per-stream instance parallelism,
+reference: src/resampler_fir.rs:509-621; per-kernel differential rule:
+reference: src/fft/butterflies/mod.rs:129-290.)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .matmul3 import split_hi_lo
+
+__all__ = ["build_async_combine", "async_combine_supported"]
+
+#: Output lanes per grid block (one MXU row tile at d1=8: 2*8*64 = 1024
+#: atlas rows per block).
+NB = 64
+#: Atlas column bound: heavy downsampling blocks span ``Nb*L/M + taps``
+#: input rows; past this the atlas is too sparse for the dense dot to
+#: win and the XLA step keeps the path.
+MAX_SDMA = 640
+
+
+def async_combine_supported(
+    *, wide: bool, R: int, L: int, M: int, taps: int,
+    skew_periods: int,
+) -> bool:
+    """Gate for the fused kernel: narrow schedule, Mosaic-tileable lane
+    count, bounded block span (near-unity / upsampling ratios — the
+    multi-tenant serving shapes the async fleet exists for)."""
+    if wide or R % 128 != 0:
+        return False
+    s_dma = NB * L // M + 1 + skew_periods + taps + 16
+    return s_dma <= MAX_SDMA
+
+
+def _build_atlas(j_np, A, Nb, Ko, s_dma, taps):
+    """``[Ko, 2*d1*Nb, s_dma]`` f32: block ``k``'s row ``(c, d, n)``
+    carries ``A[d]`` at columns ``j[k*Nb+n] - j[k*Nb] + c``."""
+    d1 = A.shape[0]
+    ab = np.zeros((Ko, 2 * d1 * Nb, s_dma), np.float32)
+    for k in range(Ko):
+        j_base = int(j_np[k * Nb])
+        for n in range(Nb):
+            off = int(j_np[k * Nb + n]) - j_base
+            for c in (0, 1):
+                rows = (c * d1 + np.arange(d1)) * Nb + n
+                ab[k, rows, off + c : off + c + taps] = A
+    return ab
+
+
+def _kernel(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, skewm_ref,
+            buf_ref, o_ref, seg_ref, sem_ref, *, Ko, Nb, d1, s_dma,
+            skew, n_load, m_f, bf16x4):
+    k = pl.program_id(0)
+
+    def get_dma(slot, kk):
+        start = sc_ref[0] + sc_ref[1 + kk]
+        aligned = (start // 8) * 8
+        return pltpu.make_async_copy(
+            buf_ref.at[pl.ds(aligned, n_load), :],
+            seg_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(k == 0)
+    def _warm():
+        get_dma(0, 0).start()
+
+    @pl.when(k + 1 < Ko)
+    def _next():
+        get_dma((k + 1) % 2, k + 1).start()
+
+    get_dma(k % 2, k).wait()
+    seg8 = seg_ref[k % 2]  # [n_load, R]
+    rem = (sc_ref[0] + sc_ref[1 + k]) % 8
+    # 8-way static-slice switch absorbs the DMA alignment remainder
+    # (traced sublane offsets are unsupported; static slices are free)
+    seg = jax.lax.switch(
+        rem,
+        [lambda c=c: seg8[c : c + s_dma + skew, :] for c in range(8)],
+    )
+    # per-LANE frame-skew select: skewm holds base_rel as f32; a
+    # (skew+1)-way shifted-view select mirrors the XLA region select
+    base_lane = skewm_ref[0:1, :]  # [1, R]
+    seg_sk = seg[0:s_dma, :]
+    for sk in range(1, skew + 1):
+        seg_sk = jnp.where(
+            base_lane == float(sk), seg[sk : sk + s_dma, :], seg_sk
+        )
+
+    if bf16x4:
+        # double-bf16 contraction, 4 single-pass MXU dots (~-120 dB
+        # floor); the atlas arrives pre-split hi/lo bf16, the segment
+        # splits on the VPU (integer-rounding split, see
+        # matmul3.split_hi_lo)
+        s_hi, s_lo = split_hi_lo(seg_sk)
+        a_hi = ab_ref[0]
+        a_lo = ab2_ref[0]
+        zz = (
+            jax.lax.dot(a_hi, s_hi, preferred_element_type=jnp.float32)
+            + jax.lax.dot(a_hi, s_lo, preferred_element_type=jnp.float32)
+            + jax.lax.dot(a_lo, s_hi, preferred_element_type=jnp.float32)
+            + jax.lax.dot(a_lo, s_lo, preferred_element_type=jnp.float32)
+        )  # [2*d1*Nb, R]
+    else:
+        zz = jax.lax.dot(
+            ab_ref[0],
+            seg_sk,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [2*d1*Nb, R]
+
+    # ---- in-kernel schedule residues + Chebyshev/wrap combine ----
+    s_col = s_ref[:, 0:1]          # [Nb, 1] static split values (f32)
+    r_row = r_ref[0:1, :]          # [1, R] per-stream residues (f32)
+    t = s_col + r_row              # [Nb, R], exact ints < 2^24
+    w = (t >= m_f).astype(jnp.float32)
+    u = 2.0 * ((t - m_f * w) * (1.0 / m_f)) - 1.0
+    t_prev = jnp.ones_like(u)
+    t_cur = u
+    z0 = zz[0:Nb, :]
+    z1 = zz[d1 * Nb : d1 * Nb + Nb, :]
+    acc = z0 + w * (z1 - z0)          # d = 0 (T_0 = 1)
+    for d in range(1, d1):
+        z0 = zz[d * Nb : (d + 1) * Nb, :]
+        z1 = zz[(d1 + d) * Nb : (d1 + d + 1) * Nb, :]
+        acc = acc + t_cur * (z0 + w * (z1 - z0))
+        if d + 1 < d1:
+            t_nxt = 2.0 * u * t_cur - t_prev
+            t_prev, t_cur = t_cur, t_nxt
+    o_ref[:, :] = acc
+
+
+def build_async_combine(
+    *, j_np: np.ndarray, s_np: np.ndarray, A: np.ndarray, taps: int,
+    R: int, M: int, skew_periods: int, out_cap: int,
+    precision: str = "bf16x4", interpret: bool = False,
+):
+    """Build the fused combine: ``fn(buffer [ring, R], base0 scalar,
+    r_lane [8, R] f32, base_lane [8, R] f32) -> out [n_pad, R]`` where
+    ``n_pad = ceil(out_cap / NB) * NB`` (caller slices ``[:out_cap]``
+    and masks by ``n_out``).  ``j_np``/``s_np`` are the static per-lane
+    split tables ``(n*L)//M`` / ``(n*L)%M``, ``A [d1, taps]`` the Farrow
+    basis.
+
+    The division ``frac = rem/M`` runs as ``rem * (1/M)`` on the VPU; vs
+    the XLA step's f32 divide this differs by <= 1 ulp of frac — below
+    the bf16x4/f32 contraction floor (differentially tested).
+
+    Returns ``(fn, n_pad, reach)`` — ``reach`` is the highest buffer row
+    the kernel can read relative to ``base0`` (for the caller's slack
+    assert)."""
+    if precision not in ("bf16x4", "highest"):
+        raise ValueError(f"unknown precision {precision!r}")
+    d1 = A.shape[0]
+    Nb = NB
+    n_pad = -(-out_cap // Nb) * Nb
+    j_pad = np.concatenate(
+        [j_np[:out_cap],
+         np.full(n_pad - out_cap, int(j_np[out_cap - 1]), np.int64)]
+    ).astype(np.int64)
+    s_pad = np.concatenate(
+        [s_np[:out_cap], np.zeros(n_pad - out_cap, np.int64)]
+    ).astype(np.int64)
+    Ko = n_pad // Nb
+    j_base = j_pad[:: Nb].astype(np.int32)  # [Ko]
+    span = int(
+        max(
+            j_pad[k * Nb + Nb - 1] - j_pad[k * Nb]
+            for k in range(Ko)
+        )
+    )
+    skew = int(skew_periods)
+    # columns: lane offset span + wrap (+1) + taps, then the skew shift
+    # and the 8-row alignment window on top
+    s_dma = span + 1 + taps
+    n_load = -(-(s_dma + skew + 8) // 8) * 8
+    reach = int(j_base.max()) + n_load  # relative to aligned(base0)
+
+    ab_np = _build_atlas(j_pad, np.asarray(A, np.float32), Nb, Ko,
+                         s_dma, taps)
+    bf16x4 = precision == "bf16x4"
+    if bf16x4:
+        hi = jnp.asarray(ab_np).astype(jnp.bfloat16)
+        lo = (
+            jnp.asarray(ab_np) - hi.astype(jnp.float32)
+        ).astype(jnp.bfloat16)
+        ab_c, ab2_c = hi, lo
+    else:
+        ab_c = jnp.asarray(ab_np)
+        ab2_c = jnp.zeros((Ko, 1, s_dma), jnp.float32)  # unused
+    # static split plane, one value per output lane, lanes padded to the
+    # f32 tile width (read back as a [Nb, 1] column in the kernel)
+    s_plane = jnp.asarray(
+        np.broadcast_to(
+            s_pad.astype(np.float32)[:, None], (n_pad, 128)
+        ).copy()
+    )
+
+    kern = functools.partial(
+        _kernel, Ko=Ko, Nb=Nb, d1=d1, s_dma=s_dma, skew=skew,
+        n_load=n_load, m_f=float(M), bf16x4=bf16x4,
+    )
+    rows2 = 2 * d1 * Nb
+    ab2_rows = rows2 if bf16x4 else 1
+
+    def fn(buffer, base0, r_lane, base_lane):
+        scalars = jnp.concatenate(
+            [
+                jnp.reshape(jnp.asarray(base0, jnp.int32), (1,)),
+                jnp.asarray(j_base, jnp.int32),
+            ]
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Ko,),
+            in_specs=[
+                pl.BlockSpec((1, rows2, s_dma), lambda k, b: (k, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ab2_rows, s_dma), lambda k, b: (k, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Nb, 128), lambda k, b: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, R), lambda k, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, R), lambda k, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((Nb, R), lambda k, b: (k, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, n_load, R), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, R), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Ko * rows2 * s_dma * R * (4 if bf16x4 else 6),
+                bytes_accessed=(
+                    Ko * rows2 * s_dma * (4 if bf16x4 else 4)
+                    + Ko * n_load * R * 4
+                    + n_pad * R * 4
+                ),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(scalars, ab_c, ab2_c, s_plane, r_lane, base_lane, buffer)
+
+    return fn, n_pad, reach

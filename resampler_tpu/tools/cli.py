@@ -102,7 +102,11 @@ def main(argv=None) -> int:
     start = time.perf_counter()
     if args.filter == "fir":
         r = ResamplerFir(2, input_rate, output_rate, latency, attenuation)
-        resampled = _stream_fir(r, stereo)
+        # process() batches file-length inputs into scanned multi-chunk
+        # device dispatches (one per 32 chunks) — the per-512-sample
+        # streaming loop (_stream_fir, kept for the reference-parity
+        # consumed/produced surface) pays one host dispatch per chunk
+        resampled = r.process(stereo)
     elif args.filter == "fft":
         r = ResamplerFft(2, input_rate, output_rate)
         resampled = r.process(stereo)
