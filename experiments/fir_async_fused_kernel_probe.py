@@ -108,8 +108,6 @@ def bench(kernel, warmup=2, reps=5):
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     correctness("pallas")
-    correctness("pallas_highest")
     x = bench("xla")
     p = bench("pallas")
-    ph = bench("pallas_highest")
     print(f"speedup: {p / x:.2f}x   vs reference: {p / 137.0:.1f}x")

@@ -108,6 +108,10 @@ class BatchedResamplerFir:
                 self._config, coeffs, n_streams,
                 max_chunk=max_chunk, horizon=horizon, max_out=max_out,
                 skew_periods=skew_periods,
+                # mesh gates the fused kernel OFF: GSPMD cannot
+                # partition a pallas_call, so meshed fleets keep the
+                # pure-XLA step it auto-partitions
+                mesh=mesh,
             )
             B, C = n_streams, channels
 

@@ -128,6 +128,31 @@ def test_async_fleet_device_vs_cpu_max_out():
     )
 
 
+def test_async_fused_kernel_vs_xla_on_device():
+    """The fused Pallas contraction+combine (ops/fir_async_kernel.py,
+    auto-selected on TPU at fleet lane counts % 128) matches the XLA
+    step on hardware across ragged feeds and compaction.  B=64 stereo
+    gives R=128 — the smallest Mosaic-tileable fleet."""
+    B, C, chunk = 64, 2, 512
+    rng = np.random.default_rng(13)
+    M = reduce_ratio(44100, 44101)[1]
+    phases = list(rng.integers(0, M, size=B))
+    feeds = []
+    for nv in [512, 0, 300, 512, 17, 512, 512, 400]:
+        d = rng.standard_normal((chunk, B * C)).astype(np.float32)
+        d[nv:] = 0.0
+        feeds.append((nv, d))
+    a = _run_async(44100, 44101, 64, phases, feeds, kernel="xla")
+    b = _run_async(44100, 44101, 64, phases, feeds, kernel="pallas")
+    total = 0
+    for oa, ob in zip(a, b):
+        assert oa.shape == ob.shape
+        # bf16x4 contraction floor (~-105 dB on unit signals)
+        np.testing.assert_allclose(oa, ob, atol=8e-5)
+        total += oa.shape[1]
+    assert total > 1000
+
+
 def test_async_wrapper_slew_device_vs_cpu():
     """Per-stream slew through the batched wrapper: device and CPU agree
     after mid-run phase nudges (state edit + continued streaming)."""
