@@ -1034,7 +1034,7 @@ def make_fir_fleet_step_async_tm(
             )
         fused_fn, n_pad_k, reach_k = build_async_combine(
             j_np=j_i64, s_np=s_np.astype(np.int64), A=A, taps=taps,
-            R=R, M=M_, skew_periods=skew_periods, out_cap=out_cap,
+            R=R, L=L_, M=M_, skew_periods=skew_periods, out_cap=out_cap,
             precision=(
                 "highest" if kernel == "pallas_highest" else "bf16x4"
             ),
@@ -1139,7 +1139,7 @@ def make_fir_fleet_step_async_tm(
                 (8, R),
             )
             out = fused_fn(
-                buffer, start + b0, r_lane8, base_lane8
+                buffer, start + b0, n_out, r_lane8, base_lane8
             )[:out_cap]
         else:
             u = 2.0 * frac - 1.0
@@ -1193,8 +1193,10 @@ def make_fir_fleet_step_async_tm(
             y1 = jnp.take(y, j_c + 1, axis=0).reshape(out_cap, d1, B, C)
             out = jnp.sum(jnp.where(wrap_t, y1, y0) * vs, axis=1)
             out = out.reshape(out_cap, R)
-        lane = jnp.arange(out_cap, dtype=jnp.int32)
-        out = jnp.where((lane < n_out)[:, None], out, 0.0)
+        if not use_pallas:
+            # the fused kernel masks n_out in its epilogue
+            lane = jnp.arange(out_cap, dtype=jnp.int32)
+            out = jnp.where((lane < n_out)[:, None], out, 0.0)
         if out_layout == "bm":
             out = jnp.transpose(out.reshape(out_cap, B, C), (1, 0, 2))
 

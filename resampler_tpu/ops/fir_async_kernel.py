@@ -13,11 +13,18 @@ STATICALLY instead:
 - The grid runs over blocks of ``Nb = 64`` OUTPUT LANES.  Lane ``n``
   needs the basis responses at buffer row ``j_n = (n*L)//M`` — a trace-
   time constant — so a per-block banded atlas evaluates the responses
-  DIRECTLY AT each lane's row: atlas row ``(c, d, n)`` carries the
-  Farrow basis filter ``A[d]`` at column ``j_n - j_base_k + c``.  The
-  wrap bit's two candidate rows become the ``c in {0, 1}`` atlas
-  copies; the take disappears into the block's MXU dot
-  ``[2*d1*Nb, s_dma] x [s_dma, R]``.
+  DIRECTLY AT each lane's row.
+- The wrap bit needs the NEIGHBOR row ``j_n + 1`` too.  Two forms:
+
+  * **shift** (auto for ``L <= M``, i.e. upsampling/near-unity — the
+    async fleet's serving shapes): ``j`` increments by 0/1, so
+    ``y[j_n + 1]`` is ``z0`` at the nearest lane ``n + k_n`` whose row
+    advanced — a per-lane STATIC distance ``k_n <= kmax``.  The atlas
+    covers ``Nb + kmax`` lanes and the wrap candidate is a
+    ``kmax``-way static-shift select — the dot stays SINGLE-width.
+  * **dual** (fallback for downsampling): the atlas carries both
+    ``c in {0, 1}`` row copies — a doubled dot, fully general.
+
 - The block's input rows stream straight from the HBM ring buffer via
   double-buffered DMA (8-row-aligned; the remainder is absorbed by an
   8-way static-slice switch on the landed segment — the workaround
@@ -31,11 +38,13 @@ STATICALLY instead:
   ``wrap = t >= M``, ``u = 2(t - M*wrap)/M - 1``, then the Chebyshev
   recurrence and the wrap combine on the VPU — the XLA step's ~9 MB of
   u/wrap planes and their [B, N] -> [N, R] relayout never exist.
+- The ``n_out`` emission mask applies in the kernel epilogue (one VPU
+  select), so the XLA side never re-reads the output to mask it.
 - Contraction precision: ``bf16x4`` (default on hardware) runs the four
-  double-bf16 products as four single-pass MXU dots (~-120 dB floor —
-  the sync fleet's proven tier; bf16x3/HIGH measured -78 dB on this
-  contraction and fails the 90 dB gates).  ``highest`` keeps the 6-pass
-  f32 form for differentials.
+  double-bf16 products as four single-pass MXU dots (~-105 dB floor on
+  unit signals — the sync fleet's proven tier; bf16x3/HIGH measured
+  -78 dB on this contraction in round 4 and fails the 90 dB gates).
+  ``highest`` keeps the 6-pass f32 form for differentials.
 
 (reference capability being scaled: per-stream instance parallelism,
 reference: src/resampler_fir.rs:509-621; per-kernel differential rule:
@@ -56,13 +65,16 @@ from .matmul3 import split_hi_lo
 
 __all__ = ["build_async_combine", "async_combine_supported"]
 
-#: Output lanes per grid block (one MXU row tile at d1=8: 2*8*64 = 1024
-#: atlas rows per block).
+#: Output lanes per grid block (one MXU row tile at d1=8: 8*64 = 512
+#: single-width / 1024 dual-width atlas rows per block).
 NB = 64
 #: Atlas column bound: heavy downsampling blocks span ``Nb*L/M + taps``
 #: input rows; past this the atlas is too sparse for the dense dot to
 #: win and the XLA step keeps the path.
 MAX_SDMA = 640
+#: Shift-form bound on the per-lane wrap-neighbor distance (covers
+#: upsampling ratios to ~1:8; larger M/L falls back to the dual form).
+MAX_KSHIFT = 8
 
 
 def async_combine_supported(
@@ -78,24 +90,81 @@ def async_combine_supported(
     return s_dma <= MAX_SDMA
 
 
-def _build_atlas(j_np, A, Nb, Ko, s_dma, taps):
-    """``[Ko, 2*d1*Nb, s_dma]`` f32: block ``k``'s row ``(c, d, n)``
-    carries ``A[d]`` at columns ``j[k*Nb+n] - j[k*Nb] + c``."""
+def _build_atlas(j_np, A, Nb, Ko, s_dma, taps, n_copies, lanes):
+    """``[Ko, n_copies*d1*lanes, s_dma]`` f32: block ``k``'s row
+    ``(c, d, n)`` carries ``A[d]`` at columns
+    ``j[k*Nb+n] - j[k*Nb] + c``."""
     d1 = A.shape[0]
-    ab = np.zeros((Ko, 2 * d1 * Nb, s_dma), np.float32)
+    ab = np.zeros((Ko, n_copies * d1 * lanes, s_dma), np.float32)
     for k in range(Ko):
         j_base = int(j_np[k * Nb])
-        for n in range(Nb):
+        for n in range(lanes):
             off = int(j_np[k * Nb + n]) - j_base
-            for c in (0, 1):
-                rows = (c * d1 + np.arange(d1)) * Nb + n
+            for c in range(n_copies):
+                rows = (c * d1 + np.arange(d1)) * lanes + n
                 ab[k, rows, off + c : off + c + taps] = A
     return ab
 
 
-def _kernel(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, skewm_ref,
-            buf_ref, o_ref, seg_ref, sem_ref, *, Ko, Nb, d1, s_dma,
-            skew, n_load, m_f, bf16x4):
+def _contract(seg_sk, ab_ref, ab2_ref, bf16x4):
+    if bf16x4:
+        s_hi, s_lo = split_hi_lo(seg_sk)
+        a_hi = ab_ref[0]
+        a_lo = ab2_ref[0]
+        return (
+            jax.lax.dot(a_hi, s_hi, preferred_element_type=jnp.float32)
+            + jax.lax.dot(a_hi, s_lo, preferred_element_type=jnp.float32)
+            + jax.lax.dot(a_lo, s_hi, preferred_element_type=jnp.float32)
+            + jax.lax.dot(a_lo, s_lo, preferred_element_type=jnp.float32)
+        )
+    return jax.lax.dot(
+        ab_ref[0],
+        seg_sk,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _landed_segment(sc_ref, seg_ref, k, s_dma, skew):
+    """Alignment-remainder switch + per-lane skew select inputs."""
+    seg8 = seg_ref[k % 2]  # [n_load, R]
+    rem = (sc_ref[0] + sc_ref[1 + k]) % 8
+    # 8-way static-slice switch absorbs the DMA alignment remainder
+    # (traced sublane offsets are unsupported; static slices are free)
+    return jax.lax.switch(
+        rem,
+        [lambda c=c: seg8[c : c + s_dma + skew, :] for c in range(8)],
+    )
+
+
+def _combine(zz, s_ref, r_ref, m_f, d1, Nb, lanes, z1_of):
+    """Chebyshev recurrence + wrap combine.  ``z1_of(zz, d, w)`` returns
+    the wrap-candidate rows for degree ``d``."""
+    s_col = s_ref[:, 0:1]          # [Nb, 1] static split values (f32)
+    r_row = r_ref[0:1, :]          # [1, R] per-stream residues (f32)
+    t = s_col + r_row              # [Nb, R], exact ints < 2^24
+    w = (t >= m_f).astype(jnp.float32)
+    u = 2.0 * ((t - m_f * w) * (1.0 / m_f)) - 1.0
+    t_prev = jnp.ones_like(u)
+    t_cur = u
+    acc = None
+    for d in range(d1):
+        z0 = zz[d * lanes : d * lanes + Nb, :]
+        z1 = z1_of(zz, d)
+        term = z0 + w * (z1 - z0)
+        if d == 0:
+            acc = term                      # T_0 = 1
+        else:
+            acc = acc + t_cur * term
+            if d + 1 < d1:
+                t_nxt = 2.0 * u * t_cur - t_prev
+                t_prev, t_cur = t_cur, t_nxt
+    return acc
+
+
+def _kernel_dual(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, skewm_ref,
+                 buf_ref, o_ref, seg_ref, sem_ref, *, Ko, Nb, d1, s_dma,
+                 skew, n_load, m_f, bf16x4):
     k = pl.program_id(0)
 
     def get_dma(slot, kk):
@@ -116,14 +185,7 @@ def _kernel(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, skewm_ref,
         get_dma((k + 1) % 2, k + 1).start()
 
     get_dma(k % 2, k).wait()
-    seg8 = seg_ref[k % 2]  # [n_load, R]
-    rem = (sc_ref[0] + sc_ref[1 + k]) % 8
-    # 8-way static-slice switch absorbs the DMA alignment remainder
-    # (traced sublane offsets are unsupported; static slices are free)
-    seg = jax.lax.switch(
-        rem,
-        [lambda c=c: seg8[c : c + s_dma + skew, :] for c in range(8)],
-    )
+    seg = _landed_segment(sc_ref, seg_ref, k, s_dma, skew)
     # per-LANE frame-skew select: skewm holds base_rel as f32; a
     # (skew+1)-way shifted-view select mirrors the XLA region select
     base_lane = skewm_ref[0:1, :]  # [1, R]
@@ -133,60 +195,82 @@ def _kernel(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, skewm_ref,
             base_lane == float(sk), seg[sk : sk + s_dma, :], seg_sk
         )
 
-    if bf16x4:
-        # double-bf16 contraction, 4 single-pass MXU dots (~-120 dB
-        # floor); the atlas arrives pre-split hi/lo bf16, the segment
-        # splits on the VPU (integer-rounding split, see
-        # matmul3.split_hi_lo)
-        s_hi, s_lo = split_hi_lo(seg_sk)
-        a_hi = ab_ref[0]
-        a_lo = ab2_ref[0]
-        zz = (
-            jax.lax.dot(a_hi, s_hi, preferred_element_type=jnp.float32)
-            + jax.lax.dot(a_hi, s_lo, preferred_element_type=jnp.float32)
-            + jax.lax.dot(a_lo, s_hi, preferred_element_type=jnp.float32)
-            + jax.lax.dot(a_lo, s_lo, preferred_element_type=jnp.float32)
-        )  # [2*d1*Nb, R]
-    else:
-        zz = jax.lax.dot(
-            ab_ref[0],
-            seg_sk,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [2*d1*Nb, R]
+    zz = _contract(seg_sk, ab_ref, ab2_ref, bf16x4)  # [2*d1*Nb, R]
 
-    # ---- in-kernel schedule residues + Chebyshev/wrap combine ----
-    s_col = s_ref[:, 0:1]          # [Nb, 1] static split values (f32)
-    r_row = r_ref[0:1, :]          # [1, R] per-stream residues (f32)
-    t = s_col + r_row              # [Nb, R], exact ints < 2^24
-    w = (t >= m_f).astype(jnp.float32)
-    u = 2.0 * ((t - m_f * w) * (1.0 / m_f)) - 1.0
-    t_prev = jnp.ones_like(u)
-    t_cur = u
-    z0 = zz[0:Nb, :]
-    z1 = zz[d1 * Nb : d1 * Nb + Nb, :]
-    acc = z0 + w * (z1 - z0)          # d = 0 (T_0 = 1)
-    for d in range(1, d1):
-        z0 = zz[d * Nb : (d + 1) * Nb, :]
-        z1 = zz[(d1 + d) * Nb : (d1 + d + 1) * Nb, :]
-        acc = acc + t_cur * (z0 + w * (z1 - z0))
-        if d + 1 < d1:
-            t_nxt = 2.0 * u * t_cur - t_prev
-            t_prev, t_cur = t_cur, t_nxt
-    o_ref[:, :] = acc
+    def z1_of(zz, d):
+        return zz[(d1 + d) * Nb : (d1 + d + 1) * Nb, :]
+
+    acc = _combine(zz, s_ref, r_ref, m_f, d1, Nb, Nb, z1_of)
+    # n_out emission mask (one VPU select; the XLA side never re-reads)
+    n_out = sc_ref[1 + Ko]
+    row = k * Nb + jax.lax.broadcasted_iota(jnp.int32, (Nb, 1), 0)
+    o_ref[:, :] = jnp.where(row < n_out, acc, 0.0)
+
+
+def _kernel_shift(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, km_ref,
+                  skewm_ref, buf_ref, o_ref, seg_ref, sem_ref, *, Ko, Nb,
+                  d1, s_dma, skew, n_load, m_f, bf16x4, kmax, lanes):
+    k = pl.program_id(0)
+
+    def get_dma(slot, kk):
+        start = sc_ref[0] + sc_ref[1 + kk]
+        aligned = (start // 8) * 8
+        return pltpu.make_async_copy(
+            buf_ref.at[pl.ds(aligned, n_load), :],
+            seg_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(k == 0)
+    def _warm():
+        get_dma(0, 0).start()
+
+    @pl.when(k + 1 < Ko)
+    def _next():
+        get_dma((k + 1) % 2, k + 1).start()
+
+    get_dma(k % 2, k).wait()
+    seg = _landed_segment(sc_ref, seg_ref, k, s_dma, skew)
+    base_lane = skewm_ref[0:1, :]
+    seg_sk = seg[0:s_dma, :]
+    for sk in range(1, skew + 1):
+        seg_sk = jnp.where(
+            base_lane == float(sk), seg[sk : sk + s_dma, :], seg_sk
+        )
+
+    zz = _contract(seg_sk, ab_ref, ab2_ref, bf16x4)  # [d1*lanes, R]
+
+    k_col = km_ref[:, 0:1]  # [Nb, 1] per-lane wrap-neighbor distance
+
+    def z1_of(zz, d):
+        # y[j_n + 1] = z0 at lane n + k_n: kmax-way static-shift select
+        z1 = zz[d * lanes + 1 : d * lanes + 1 + Nb, :]
+        for c in range(2, kmax + 1):
+            z1 = jnp.where(
+                k_col == float(c),
+                zz[d * lanes + c : d * lanes + c + Nb, :],
+                z1,
+            )
+        return z1
+
+    acc = _combine(zz, s_ref, r_ref, m_f, d1, Nb, lanes, z1_of)
+    n_out = sc_ref[1 + Ko]
+    row = k * Nb + jax.lax.broadcasted_iota(jnp.int32, (Nb, 1), 0)
+    o_ref[:, :] = jnp.where(row < n_out, acc, 0.0)
 
 
 def build_async_combine(
     *, j_np: np.ndarray, s_np: np.ndarray, A: np.ndarray, taps: int,
-    R: int, M: int, skew_periods: int, out_cap: int,
+    R: int, L: int, M: int, skew_periods: int, out_cap: int,
     precision: str = "bf16x4", interpret: bool = False,
 ):
     """Build the fused combine: ``fn(buffer [ring, R], base0 scalar,
-    r_lane [8, R] f32, base_lane [8, R] f32) -> out [n_pad, R]`` where
-    ``n_pad = ceil(out_cap / NB) * NB`` (caller slices ``[:out_cap]``
-    and masks by ``n_out``).  ``j_np``/``s_np`` are the static per-lane
-    split tables ``(n*L)//M`` / ``(n*L)%M``, ``A [d1, taps]`` the Farrow
-    basis.
+    n_out scalar, r_lane [8, R] f32, base_lane [8, R] f32) ->
+    out [n_pad, R]`` (n_out-masked; caller slices ``[:out_cap]``).
+    ``j_np``/``s_np`` are the static per-lane split tables ``(n*L)//M``
+    / ``(n*L)%M`` (length >= out_cap; the shift form reads up to
+    ``out_cap + kmax + Nb`` entries, recomputed here from ``L``/``M``),
+    ``A [d1, taps]`` the Farrow basis.
 
     The division ``frac = rem/M`` runs as ``rem * (1/M)`` on the VPU; vs
     the XLA step's f32 divide this differs by <= 1 ulp of frac — below
@@ -200,30 +284,66 @@ def build_async_combine(
     d1 = A.shape[0]
     Nb = NB
     n_pad = -(-out_cap // Nb) * Nb
-    j_pad = np.concatenate(
-        [j_np[:out_cap],
-         np.full(n_pad - out_cap, int(j_np[out_cap - 1]), np.int64)]
-    ).astype(np.int64)
-    s_pad = np.concatenate(
-        [s_np[:out_cap], np.zeros(n_pad - out_cap, np.int64)]
-    ).astype(np.int64)
     Ko = n_pad // Nb
-    j_base = j_pad[:: Nb].astype(np.int32)  # [Ko]
-    span = int(
-        max(
-            j_pad[k * Nb + Nb - 1] - j_pad[k * Nb]
-            for k in range(Ko)
-        )
-    )
     skew = int(skew_periods)
-    # columns: lane offset span + wrap (+1) + taps, then the skew shift
-    # and the 8-row alignment window on top
-    s_dma = span + 1 + taps
+
+    # extended true split tables (shift form reads past out_cap)
+    i_ext = np.arange(n_pad + MAX_KSHIFT + 1, dtype=np.int64)
+    j_ext = (i_ext * L) // M
+    # padded lanes [out_cap, n_pad) repeat the last real row (masked)
+    j_pad = j_ext.copy()
+    j_pad[out_cap:] = np.maximum(j_pad[out_cap:], j_ext[out_cap])
+
+    # shift form: per-lane distance to the next row increment
+    use_shift = False
+    kmax = 0
+    if L <= M:
+        k_n = np.zeros(n_pad, np.int64)
+        ok = True
+        for n in range(out_cap):
+            nxt = np.nonzero(
+                j_ext[n + 1 : n + MAX_KSHIFT + 1] == j_ext[n] + 1
+            )[0]
+            if nxt.size == 0:
+                ok = False
+                break
+            k_n[n] = nxt[0] + 1
+        if ok:
+            kmax = int(k_n[:out_cap].max()) if out_cap else 1
+            k_n[out_cap:] = 1  # padded lanes: any valid shift (masked)
+            use_shift = kmax <= MAX_KSHIFT
+
+    if use_shift:
+        lanes = Nb + kmax
+        n_copies = 1
+        span = int(
+            max(
+                j_ext[k * Nb + lanes - 1] - j_ext[k * Nb]
+                for k in range(Ko)
+            )
+        )
+        s_dma = span + 1 + taps  # +1: the shifted lanes' +... alignment pad
+        atlas_j = j_ext
+    else:
+        lanes = Nb
+        n_copies = 2
+        span = int(
+            max(
+                j_pad[k * Nb + Nb - 1] - j_pad[k * Nb]
+                for k in range(Ko)
+            )
+        )
+        s_dma = span + 1 + taps
+        atlas_j = j_pad
+
+    j_base = atlas_j[: Ko * Nb : Nb].astype(np.int32)  # [Ko]
     n_load = -(-(s_dma + skew + 8) // 8) * 8
     reach = int(j_base.max()) + n_load  # relative to aligned(base0)
 
-    ab_np = _build_atlas(j_pad, np.asarray(A, np.float32), Nb, Ko,
-                         s_dma, taps)
+    ab_np = _build_atlas(
+        atlas_j, np.asarray(A, np.float32), Nb, Ko, s_dma, taps,
+        n_copies, lanes,
+    )
     bf16x4 = precision == "bf16x4"
     if bf16x4:
         hi = jnp.asarray(ab_np).astype(jnp.bfloat16)
@@ -234,44 +354,70 @@ def build_async_combine(
     else:
         ab_c = jnp.asarray(ab_np)
         ab2_c = jnp.zeros((Ko, 1, s_dma), jnp.float32)  # unused
+    rows2 = n_copies * d1 * lanes
+    ab2_rows = rows2 if bf16x4 else 1
+
     # static split plane, one value per output lane, lanes padded to the
     # f32 tile width (read back as a [Nb, 1] column in the kernel)
+    s_pad = np.zeros(n_pad, np.int64)
+    s_pad[:out_cap] = np.asarray(s_np[:out_cap], np.int64)
     s_plane = jnp.asarray(
         np.broadcast_to(
             s_pad.astype(np.float32)[:, None], (n_pad, 128)
         ).copy()
     )
+    if use_shift:
+        k_plane = jnp.asarray(
+            np.broadcast_to(
+                k_n.astype(np.float32)[:, None], (n_pad, 128)
+            ).copy()
+        )
+        kern = functools.partial(
+            _kernel_shift, Ko=Ko, Nb=Nb, d1=d1, s_dma=s_dma, skew=skew,
+            n_load=n_load, m_f=float(M), bf16x4=bf16x4, kmax=kmax,
+            lanes=lanes,
+        )
+    else:
+        kern = functools.partial(
+            _kernel_dual, Ko=Ko, Nb=Nb, d1=d1, s_dma=s_dma, skew=skew,
+            n_load=n_load, m_f=float(M), bf16x4=bf16x4,
+        )
 
-    kern = functools.partial(
-        _kernel, Ko=Ko, Nb=Nb, d1=d1, s_dma=s_dma, skew=skew,
-        n_load=n_load, m_f=float(M), bf16x4=bf16x4,
-    )
-    rows2 = 2 * d1 * Nb
-    ab2_rows = rows2 if bf16x4 else 1
-
-    def fn(buffer, base0, r_lane, base_lane):
+    def fn(buffer, base0, n_out, r_lane, base_lane):
         scalars = jnp.concatenate(
             [
                 jnp.reshape(jnp.asarray(base0, jnp.int32), (1,)),
                 jnp.asarray(j_base, jnp.int32),
+                jnp.reshape(jnp.asarray(n_out, jnp.int32), (1,)),
             ]
         )
+        in_specs = [
+            pl.BlockSpec((1, rows2, s_dma), lambda k, b: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ab2_rows, s_dma), lambda k, b: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Nb, 128), lambda k, b: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, R), lambda k, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [ab_c, ab2_c, s_plane, r_lane]
+        if use_shift:
+            in_specs.append(
+                pl.BlockSpec((Nb, 128), lambda k, b: (k, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(k_plane)
+        in_specs += [
+            pl.BlockSpec((8, R), lambda k, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        args += [base_lane, buffer]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(Ko,),
-            in_specs=[
-                pl.BlockSpec((1, rows2, s_dma), lambda k, b: (k, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ab2_rows, s_dma), lambda k, b: (k, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Nb, 128), lambda k, b: (k, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, R), lambda k, b: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, R), lambda k, b: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((Nb, R), lambda k, b: (k, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -289,13 +435,13 @@ def build_async_combine(
             cost_estimate=pl.CostEstimate(
                 flops=2 * Ko * rows2 * s_dma * R * (4 if bf16x4 else 6),
                 bytes_accessed=(
-                    Ko * rows2 * s_dma * (4 if bf16x4 else 4)
+                    Ko * rows2 * s_dma * 4
                     + Ko * n_load * R * 4
                     + n_pad * R * 4
                 ),
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(scalars, ab_c, ab2_c, s_plane, r_lane, base_lane, buffer)
+        )(scalars, *args)
 
     return fn, n_pad, reach
