@@ -46,6 +46,13 @@ STATICALLY instead:
   -78 dB on this contraction in round 4 and fails the 90 dB gates).
   ``highest`` keeps the 6-pass f32 form for differentials.
 
+MEASURED VERDICT (v5e-1, bench config 44100->44101 B=256 stereo
+chunk=2048, varying feed, clean serialized runs): XLA step 0.568
+ms/step (1 846 Msps, 13.5x ref) -> dual-atlas bf16x4 0.351 (2 989,
+21.8x) -> shift form + in-kernel n_out mask 0.273 (3 847, 28.1x).
+Differentials: CPU interpret at 5 ratio shapes <= 2.9e-5 vs the XLA
+step; on-device R=128 case in tests_tpu/test_async_device.py.
+
 (reference capability being scaled: per-stream instance parallelism,
 reference: src/resampler_fir.rs:509-621; per-kernel differential rule:
 reference: src/fft/butterflies/mod.rs:129-290.)
@@ -101,21 +108,35 @@ def _build_atlas(j_np, A, Nb, Ko, s_dma, taps, n_copies, lanes):
         for n in range(lanes):
             off = int(j_np[k * Nb + n]) - j_base
             for c in range(n_copies):
-                rows = (c * d1 + np.arange(d1)) * lanes + n
+                # d-MAJOR row order (degree outermost) so the
+                # degree-banded correction rows are one prefix slice
+                rows = (np.arange(d1) * n_copies + c) * lanes + n
                 ab[k, rows, off + c : off + c + taps] = A
     return ab
 
 
-def _contract(seg_sk, ab_ref, ab2_ref, bf16x4):
+def _contract(seg_sk, ab_ref, ab2_ref, bf16x4, rows_c):
     if bf16x4:
+        # DEGREE-BANDED corrections (the magsplit idea applied to the
+        # Farrow basis): the Chebyshev rows decay steeply with degree
+        # (|A_d|/|A_0| ~ 7e-4 by d=5), so the bf16 refinement products
+        # only matter for the low-degree rows — ``rows_c`` is chosen at
+        # build so the dropped terms sit >= 10x below the bf16x4 floor.
+        # The correction dots run over the CONTIGUOUS low-degree row
+        # prefix (both layouts keep d-major row order per wrap copy).
         s_hi, s_lo = split_hi_lo(seg_sk)
         a_hi = ab_ref[0]
-        a_lo = ab2_ref[0]
-        return (
-            jax.lax.dot(a_hi, s_hi, preferred_element_type=jnp.float32)
-            + jax.lax.dot(a_hi, s_lo, preferred_element_type=jnp.float32)
-            + jax.lax.dot(a_lo, s_hi, preferred_element_type=jnp.float32)
-            + jax.lax.dot(a_lo, s_lo, preferred_element_type=jnp.float32)
+        a_lo = ab2_ref[0]  # [rows_c_total, s_dma], low-degree rows only
+        y = jax.lax.dot(a_hi, s_hi, preferred_element_type=jnp.float32)
+        corr = jax.lax.dot(
+            a_hi[0:rows_c, :], s_lo, preferred_element_type=jnp.float32
+        ) + jax.lax.dot(
+            a_lo[0:rows_c, :], s_hi, preferred_element_type=jnp.float32
+        ) + jax.lax.dot(
+            a_lo[0:rows_c, :], s_lo, preferred_element_type=jnp.float32
+        )
+        return jnp.concatenate(
+            [y[0:rows_c, :] + corr, y[rows_c:, :]], axis=0
         )
     return jax.lax.dot(
         ab_ref[0],
@@ -164,7 +185,7 @@ def _combine(zz, s_ref, r_ref, m_f, d1, Nb, lanes, z1_of):
 
 def _kernel_dual(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, skewm_ref,
                  buf_ref, o_ref, seg_ref, sem_ref, *, Ko, Nb, d1, s_dma,
-                 skew, n_load, m_f, bf16x4):
+                 skew, n_load, m_f, bf16x4, rows_c):
     k = pl.program_id(0)
 
     def get_dma(slot, kk):
@@ -195,12 +216,12 @@ def _kernel_dual(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, skewm_ref,
             base_lane == float(sk), seg[sk : sk + s_dma, :], seg_sk
         )
 
-    zz = _contract(seg_sk, ab_ref, ab2_ref, bf16x4)  # [2*d1*Nb, R]
+    zz = _contract(seg_sk, ab_ref, ab2_ref, bf16x4, rows_c)  # [2*d1*Nb, R]
 
     def z1_of(zz, d):
-        return zz[(d1 + d) * Nb : (d1 + d + 1) * Nb, :]
+        return zz[(2 * d + 1) * Nb : (2 * d + 2) * Nb, :]
 
-    acc = _combine(zz, s_ref, r_ref, m_f, d1, Nb, Nb, z1_of)
+    acc = _combine(zz, s_ref, r_ref, m_f, d1, Nb, 2 * Nb, z1_of)
     # n_out emission mask (one VPU select; the XLA side never re-reads)
     n_out = sc_ref[1 + Ko]
     row = k * Nb + jax.lax.broadcasted_iota(jnp.int32, (Nb, 1), 0)
@@ -209,7 +230,8 @@ def _kernel_dual(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, skewm_ref,
 
 def _kernel_shift(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, km_ref,
                   skewm_ref, buf_ref, o_ref, seg_ref, sem_ref, *, Ko, Nb,
-                  d1, s_dma, skew, n_load, m_f, bf16x4, kmax, lanes):
+                  d1, s_dma, skew, n_load, m_f, bf16x4, kmax, lanes,
+                  rows_c):
     k = pl.program_id(0)
 
     def get_dma(slot, kk):
@@ -238,7 +260,7 @@ def _kernel_shift(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, km_ref,
             base_lane == float(sk), seg[sk : sk + s_dma, :], seg_sk
         )
 
-    zz = _contract(seg_sk, ab_ref, ab2_ref, bf16x4)  # [d1*lanes, R]
+    zz = _contract(seg_sk, ab_ref, ab2_ref, bf16x4, rows_c)  # [d1*lanes, R]
 
     k_col = km_ref[:, 0:1]  # [Nb, 1] per-lane wrap-neighbor distance
 
@@ -344,18 +366,29 @@ def build_async_combine(
         atlas_j, np.asarray(A, np.float32), Nb, Ko, s_dma, taps,
         n_copies, lanes,
     )
+    rows2 = n_copies * d1 * lanes
     bf16x4 = precision == "bf16x4"
+    # degree-banded correction cut: drop refinement products for degrees
+    # whose rows sit <= 1e-3 of the basis max — their bf16 products are
+    # >= 10x below the bf16x4 floor (|A_d| * 2^-8 relative)
+    a_np = np.asarray(A, np.float64)
+    rel = np.abs(a_np).max(axis=1) / np.abs(a_np).max()
+    dc = d1 - 1
+    while dc > 0 and rel[dc] <= 1e-3:
+        dc -= 1
+    rows_c = (dc + 1) * n_copies * lanes
     if bf16x4:
         hi = jnp.asarray(ab_np).astype(jnp.bfloat16)
         lo = (
-            jnp.asarray(ab_np) - hi.astype(jnp.float32)
+            jnp.asarray(ab_np[:, :rows_c, :])
+            - hi[:, :rows_c, :].astype(jnp.float32)
         ).astype(jnp.bfloat16)
         ab_c, ab2_c = hi, lo
+        ab2_rows = rows_c
     else:
         ab_c = jnp.asarray(ab_np)
         ab2_c = jnp.zeros((Ko, 1, s_dma), jnp.float32)  # unused
-    rows2 = n_copies * d1 * lanes
-    ab2_rows = rows2 if bf16x4 else 1
+        ab2_rows = 1
 
     # static split plane, one value per output lane, lanes padded to the
     # f32 tile width (read back as a [Nb, 1] column in the kernel)
@@ -375,12 +408,12 @@ def build_async_combine(
         kern = functools.partial(
             _kernel_shift, Ko=Ko, Nb=Nb, d1=d1, s_dma=s_dma, skew=skew,
             n_load=n_load, m_f=float(M), bf16x4=bf16x4, kmax=kmax,
-            lanes=lanes,
+            lanes=lanes, rows_c=rows_c,
         )
     else:
         kern = functools.partial(
             _kernel_dual, Ko=Ko, Nb=Nb, d1=d1, s_dma=s_dma, skew=skew,
-            n_load=n_load, m_f=float(M), bf16x4=bf16x4,
+            n_load=n_load, m_f=float(M), bf16x4=bf16x4, rows_c=rows_c,
         )
 
     def fn(buffer, base0, n_out, r_lane, base_lane):
@@ -433,7 +466,9 @@ def build_async_combine(
                 vmem_limit_bytes=100 * 1024 * 1024,
             ),
             cost_estimate=pl.CostEstimate(
-                flops=2 * Ko * rows2 * s_dma * R * (4 if bf16x4 else 6),
+                flops=2 * Ko * s_dma * R * (
+                    (rows2 + 3 * ab2_rows) if bf16x4 else 6 * rows2
+                ),
                 bytes_accessed=(
                     Ko * rows2 * s_dma * 4
                     + Ko * n_load * R * 4
