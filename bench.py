@@ -836,6 +836,17 @@ def bench_latency(n_iters=60, chunk_frames=1024, n_streams_fleet=256):
 
 def main():
     fir_msps = bench_fir()
+    # Async (multi-tenant) rows run EARLY: in-process ordering drifts
+    # fleet step timings downward as the run progresses (measured
+    # 4200 isolated / 3370 after one bench / 2966 after eight for the
+    # same build — clear_caches does not recover it, consistent with
+    # thermal/allocator drift), so each serving path is measured in a
+    # thermal state comparable to the headline's.
+    fir_arb_async_msps = bench_fir_arbitrary_async()
+    fir_wide_async_msps = bench_fir_arbitrary_async(
+        in_hz=4000000000, out_hz=4000000001
+    )
+    fir_ragged_msps = bench_fir_ragged_async()
     # FFT headline = the zero-copy rotating-pool serving form (the
     # production ingest architecture; correctness-tested against the
     # materialized step).  The materialized step is recorded alongside —
@@ -886,17 +897,6 @@ def main():
     # the same synchronized tm Farrow fleet under the two-word uint32
     # schedule — reference-parity capability at fleet throughput.
     fir_wide_msps = bench_fir(in_hz=600011, out_hz=600013)
-    fir_arb_async_msps = bench_fir_arbitrary_async()
-    # WIDE pair on the ASYNC fleet: per-stream (hi, lo) uint32 positions
-    # on the shared ring, fleet-min schedule from the lexicographic
-    # laggard — arbitrary-u32 multi-tenant serving
-    fir_wide_async_msps = bench_fir_arbitrary_async(
-        in_hz=4000000000, out_hz=4000000001
-    )
-    # RAGGED divergent feeds riding the async ring at the fleet-min
-    # cadence (host repack, StreamingFleet) — utilization paid in the
-    # number; retires the 1.14x vmapped-only ragged quadrant.
-    fir_ragged_msps = bench_fir_ragged_async()
     fir_arb_msps = bench_fir_arbitrary("farrow")
     # exact table-lerp SEMANTICS through the farrow structure
     # (SVD-factorized table, engine/fir.py _convolve_lerp) — measured
