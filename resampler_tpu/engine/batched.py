@@ -97,7 +97,7 @@ class BatchedResamplerFir:
             # /root/reference/src/resampler_fir.rs:542-590).  One
             # banded-atlas basis contraction serves the whole fleet —
             # on TPU the fused per-lane-atlas Pallas kernel
-            # (ops/fir_async_kernel.py): measured 3847 Msps = 28.1x the
+            # (ops/fir_async_kernel.py): measured 4200 Msps = 30.7x the
             # reference hot loop at 44100->44101, B=256 stereo (vs
             # 1.13x for the vmapped per-stream engine).  Under a mesh
             # the step stays pure XLA (the kernel gates itself off —

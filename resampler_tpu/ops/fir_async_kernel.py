@@ -49,8 +49,11 @@ STATICALLY instead:
 MEASURED VERDICT (v5e-1, bench config 44100->44101 B=256 stereo
 chunk=2048, varying feed, clean serialized runs): XLA step 0.568
 ms/step (1 846 Msps, 13.5x ref) -> dual-atlas bf16x4 0.351 (2 989,
-21.8x) -> shift form + in-kernel n_out mask 0.273 (3 847, 28.1x).
-Differentials: CPU interpret at 5 ratio shapes <= 2.9e-5 vs the XLA
+21.8x) -> shift form + in-kernel n_out mask 0.273 (3 847, 28.1x) ->
+degree-banded corrections 0.250 (4 200, 30.7x).  In a long bench run
+fleet timings drift ~20% downward (thermal/allocator; ROUND5_NOTES) —
+bench.py therefore measures the async rows right after the headline.
+Differentials: CPU interpret at 5 ratio shapes <= 2.4e-5 vs the XLA
 step; on-device R=128 case in tests_tpu/test_async_device.py.
 
 (reference capability being scaled: per-stream instance parallelism,
