@@ -1017,7 +1017,6 @@ def make_fir_fleet_step_async_tm(
             if (
                 mesh is None
                 and jax.default_backend() == "tpu"
-                and not wide
                 and async_combine_supported(
                     wide=wide, R=R, L=L_, M=M_, taps=taps,
                     skew_periods=skew_periods,
@@ -1027,11 +1026,9 @@ def make_fir_fleet_step_async_tm(
         )
     use_pallas = kernel.startswith("pallas")
     if use_pallas:
-        if wide:
-            raise ValueError(
-                "the fused async kernel supports int32-envelope ratios; "
-                "wide u32 pairs use kernel='xla'"
-            )
+        # WIDE schedules ride the kernel's PLANE interface: the exact
+        # u32 residues are computed here (as in the XLA branch) and ship
+        # as u/wrap planes, since they exceed the in-kernel f32 envelope
         fused_fn, n_pad_k, reach_k = build_async_combine(
             j_np=j_i64, s_np=s_np.astype(np.int64), A=A, taps=taps,
             R=R, L=L_, M=M_, skew_periods=skew_periods, out_cap=out_cap,
@@ -1039,6 +1036,7 @@ def make_fir_fleet_step_async_tm(
                 "highest" if kernel == "pallas_highest" else "bf16x4"
             ),
             interpret=(kernel == "pallas_interpret"),
+            planes=wide,
         )
         # the kernel's DMA has no clamp: its highest read relative to
         # the region base must sit inside the buffer slack
@@ -1127,19 +1125,33 @@ def make_fir_fleet_step_async_tm(
         if use_pallas:
             # ---- fused kernel: the takes are static per output lane, so
             # the per-block atlas evaluates the basis responses directly
-            # AT each lane's row (both wrap candidates); the phase
-            # residues/Chebyshev/wrap combine run IN KERNEL from the
-            # per-stream residue row — no [N, R] planes, no relayout
-            # (ops/fir_async_kernel.py)
-            r_lane8 = jnp.broadcast_to(
-                jnp.repeat(r.astype(jnp.float32), C)[None, :], (8, R)
-            )
+            # AT each lane's row (both wrap candidates).  Narrow: the
+            # phase residues/Chebyshev/wrap combine run IN KERNEL from
+            # the per-stream residue row — no [N, R] planes, no relayout.
+            # Wide: the exact-u32 residues computed above ship as u/wrap
+            # planes (ops/fir_async_kernel.py).
             base_lane8 = jnp.broadcast_to(
                 jnp.repeat(base_rel.astype(jnp.float32), C)[None, :],
                 (8, R),
             )
+            if wide:
+                u_pl = jnp.repeat(
+                    jnp.transpose(2.0 * frac - 1.0), C, axis=1
+                )  # [N, R]
+                wrap_pl = jnp.repeat(
+                    jnp.transpose(wrap_b).astype(jnp.float32), C, axis=1
+                )
+                if n_pad_k > out_cap:
+                    padw = ((0, n_pad_k - out_cap), (0, 0))
+                    u_pl = jnp.pad(u_pl, padw)
+                    wrap_pl = jnp.pad(wrap_pl, padw)
+                rarg = (u_pl, wrap_pl)
+            else:
+                rarg = jnp.broadcast_to(
+                    jnp.repeat(r.astype(jnp.float32), C)[None, :], (8, R)
+                )
             out = fused_fn(
-                buffer, start + b0, n_out, r_lane8, base_lane8
+                buffer, start + b0, n_out, rarg, base_lane8
             )[:out_cap]
         else:
             u = 2.0 * frac - 1.0

@@ -91,10 +91,13 @@ def async_combine_supported(
     *, wide: bool, R: int, L: int, M: int, taps: int,
     skew_periods: int,
 ) -> bool:
-    """Gate for the fused kernel: narrow schedule, Mosaic-tileable lane
-    count, bounded block span (near-unity / upsampling ratios — the
-    multi-tenant serving shapes the async fleet exists for)."""
-    if wide or R % 128 != 0:
+    """Gate for the fused kernel: Mosaic-tileable lane count, bounded
+    block span (near-unity / upsampling ratios — the multi-tenant
+    serving shapes the async fleet exists for).  Wide (u32 two-word)
+    pairs are supported through the PLANE interface: their residues
+    exceed f32/int32 exactness, so the XLA side ships precomputed
+    u/wrap planes instead of the in-kernel residue computation."""
+    if R % 128 != 0:
         return False
     s_dma = NB * L // M + 1 + skew_periods + taps + 16
     return s_dma <= MAX_SDMA
@@ -161,14 +164,19 @@ def _landed_segment(sc_ref, seg_ref, k, s_dma, skew):
     )
 
 
-def _combine(zz, s_ref, r_ref, m_f, d1, Nb, lanes, z1_of):
-    """Chebyshev recurrence + wrap combine.  ``z1_of(zz, d, w)`` returns
-    the wrap-candidate rows for degree ``d``."""
+def _residues(s_ref, r_ref, m_f):
+    """In-kernel phase residues for NARROW schedules (all quantities are
+    exact integers below 2^24 in f32)."""
     s_col = s_ref[:, 0:1]          # [Nb, 1] static split values (f32)
     r_row = r_ref[0:1, :]          # [1, R] per-stream residues (f32)
     t = s_col + r_row              # [Nb, R], exact ints < 2^24
     w = (t >= m_f).astype(jnp.float32)
     u = 2.0 * ((t - m_f * w) * (1.0 / m_f)) - 1.0
+    return u, w
+
+
+def _combine(zz, u, w, d1, Nb, lanes, z1_of):
+    """Chebyshev recurrence + wrap combine over precomputed residues."""
     t_prev = jnp.ones_like(u)
     t_cur = u
     acc = None
@@ -188,7 +196,7 @@ def _combine(zz, s_ref, r_ref, m_f, d1, Nb, lanes, z1_of):
 
 def _kernel_dual(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, skewm_ref,
                  buf_ref, o_ref, seg_ref, sem_ref, *, Ko, Nb, d1, s_dma,
-                 skew, n_load, m_f, bf16x4, rows_c):
+                 skew, n_load, m_f, bf16x4, rows_c, planes):
     k = pl.program_id(0)
 
     def get_dma(slot, kk):
@@ -224,7 +232,13 @@ def _kernel_dual(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, skewm_ref,
     def z1_of(zz, d):
         return zz[(2 * d + 1) * Nb : (2 * d + 2) * Nb, :]
 
-    acc = _combine(zz, s_ref, r_ref, m_f, d1, Nb, 2 * Nb, z1_of)
+    if planes:
+        # wide schedules: residues exceed f32/int32 exactness, so the
+        # XLA side ships precomputed u/wrap [Nb, R] plane blocks
+        u, w = s_ref[:, :], r_ref[:, :]
+    else:
+        u, w = _residues(s_ref, r_ref, m_f)
+    acc = _combine(zz, u, w, d1, Nb, 2 * Nb, z1_of)
     # n_out emission mask (one VPU select; the XLA side never re-reads)
     n_out = sc_ref[1 + Ko]
     row = k * Nb + jax.lax.broadcasted_iota(jnp.int32, (Nb, 1), 0)
@@ -234,7 +248,7 @@ def _kernel_dual(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, skewm_ref,
 def _kernel_shift(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, km_ref,
                   skewm_ref, buf_ref, o_ref, seg_ref, sem_ref, *, Ko, Nb,
                   d1, s_dma, skew, n_load, m_f, bf16x4, kmax, lanes,
-                  rows_c):
+                  rows_c, planes):
     k = pl.program_id(0)
 
     def get_dma(slot, kk):
@@ -278,7 +292,11 @@ def _kernel_shift(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, km_ref,
             )
         return z1
 
-    acc = _combine(zz, s_ref, r_ref, m_f, d1, Nb, lanes, z1_of)
+    if planes:
+        u, w = s_ref[:, :], r_ref[:, :]
+    else:
+        u, w = _residues(s_ref, r_ref, m_f)
+    acc = _combine(zz, u, w, d1, Nb, lanes, z1_of)
     n_out = sc_ref[1 + Ko]
     row = k * Nb + jax.lax.broadcasted_iota(jnp.int32, (Nb, 1), 0)
     o_ref[:, :] = jnp.where(row < n_out, acc, 0.0)
@@ -288,14 +306,22 @@ def build_async_combine(
     *, j_np: np.ndarray, s_np: np.ndarray, A: np.ndarray, taps: int,
     R: int, L: int, M: int, skew_periods: int, out_cap: int,
     precision: str = "bf16x4", interpret: bool = False,
+    planes: bool = False,
 ):
     """Build the fused combine: ``fn(buffer [ring, R], base0 scalar,
     n_out scalar, r_lane [8, R] f32, base_lane [8, R] f32) ->
     out [n_pad, R]`` (n_out-masked; caller slices ``[:out_cap]``).
     ``j_np``/``s_np`` are the static per-lane split tables ``(n*L)//M``
     / ``(n*L)%M`` (length >= out_cap; the shift form reads up to
-    ``out_cap + kmax + Nb`` entries, recomputed here from ``L``/``M``),
-    ``A [d1, taps]`` the Farrow basis.
+    ``out_cap + kmax + Nb`` entries, recomputed here from ``L``/``M``
+    and used only where they match the caller's table — wide schedules
+    clamp ``j`` at the buffer edge), ``A [d1, taps]`` the Farrow basis.
+
+    ``planes=True`` (WIDE schedules): the per-lane residues exceed
+    f32/int32 exactness, so ``fn`` instead takes precomputed
+    ``u [n_pad, R]`` and ``wrap [n_pad, R]`` f32 planes in place of
+    ``r_lane`` (computed exactly in u32 by the XLA step) — the extra
+    ~2 planes of HBM traffic is the price of the u32 envelope.
 
     The division ``frac = rem/M`` runs as ``rem * (1/M)`` on the VPU; vs
     the XLA step's f32 divide this differs by <= 1 ulp of frac — below
@@ -319,10 +345,14 @@ def build_async_combine(
     j_pad = j_ext.copy()
     j_pad[out_cap:] = np.maximum(j_pad[out_cap:], j_ext[out_cap])
 
-    # shift form: per-lane distance to the next row increment
+    # shift form: per-lane distance to the next row increment.  Only
+    # valid when the recomputed unclamped table matches the caller's
+    # (wide schedules clamp j at the buffer edge, where the neighbor-
+    # shift identity breaks) — otherwise the dual form handles it.
+    j_caller = np.asarray(j_np[:out_cap], np.int64)
     use_shift = False
     kmax = 0
-    if L <= M:
+    if L <= M and np.array_equal(j_ext[:out_cap], j_caller):
         k_n = np.zeros(n_pad, np.int64)
         ok = True
         for n in range(out_cap):
@@ -352,14 +382,19 @@ def build_async_combine(
     else:
         lanes = Nb
         n_copies = 2
+        j_dual = np.concatenate(
+            [j_caller,
+             np.full(n_pad - out_cap,
+                     int(j_caller[-1]) if out_cap else 0, np.int64)]
+        )
         span = int(
             max(
-                j_pad[k * Nb + Nb - 1] - j_pad[k * Nb]
+                j_dual[k * Nb + Nb - 1] - j_dual[k * Nb]
                 for k in range(Ko)
             )
         )
         s_dma = span + 1 + taps
-        atlas_j = j_pad
+        atlas_j = j_dual
 
     j_base = atlas_j[: Ko * Nb : Nb].astype(np.int32)  # [Ko]
     n_load = -(-(s_dma + skew + 8) // 8) * 8
@@ -411,15 +446,17 @@ def build_async_combine(
         kern = functools.partial(
             _kernel_shift, Ko=Ko, Nb=Nb, d1=d1, s_dma=s_dma, skew=skew,
             n_load=n_load, m_f=float(M), bf16x4=bf16x4, kmax=kmax,
-            lanes=lanes, rows_c=rows_c,
+            lanes=lanes, rows_c=rows_c, planes=planes,
         )
     else:
         kern = functools.partial(
             _kernel_dual, Ko=Ko, Nb=Nb, d1=d1, s_dma=s_dma, skew=skew,
             n_load=n_load, m_f=float(M), bf16x4=bf16x4, rows_c=rows_c,
+            planes=planes,
         )
 
     def fn(buffer, base0, n_out, r_lane, base_lane):
+        # planes=True: r_lane is the (u_plane, wrap_plane) tuple
         scalars = jnp.concatenate(
             [
                 jnp.reshape(jnp.asarray(base0, jnp.int32), (1,)),
@@ -427,17 +464,31 @@ def build_async_combine(
                 jnp.reshape(jnp.asarray(n_out, jnp.int32), (1,)),
             ]
         )
-        in_specs = [
-            pl.BlockSpec((1, rows2, s_dma), lambda k, b: (k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ab2_rows, s_dma), lambda k, b: (k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Nb, 128), lambda k, b: (k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, R), lambda k, b: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        args = [ab_c, ab2_c, s_plane, r_lane]
+        if planes:
+            u_plane, wrap_plane = r_lane
+            in_specs = [
+                pl.BlockSpec((1, rows2, s_dma), lambda k, b: (k, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ab2_rows, s_dma), lambda k, b: (k, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Nb, R), lambda k, b: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Nb, R), lambda k, b: (k, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            args = [ab_c, ab2_c, u_plane, wrap_plane]
+        else:
+            in_specs = [
+                pl.BlockSpec((1, rows2, s_dma), lambda k, b: (k, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ab2_rows, s_dma), lambda k, b: (k, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Nb, 128), lambda k, b: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, R), lambda k, b: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            args = [ab_c, ab2_c, s_plane, r_lane]
         if use_shift:
             in_specs.append(
                 pl.BlockSpec((Nb, 128), lambda k, b: (k, 0),

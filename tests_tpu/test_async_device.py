@@ -153,6 +153,31 @@ def test_async_fused_kernel_vs_xla_on_device():
     assert total > 1000
 
 
+def test_async_fused_kernel_wide_vs_xla_on_device():
+    """WIDE (u32 two-word) pairs ride the kernel's PLANE interface (the
+    exact residues ship as u/wrap planes).  Device differential at the
+    minimal Mosaic-tileable fleet."""
+    B, C, chunk = 64, 2, 512
+    rng = np.random.default_rng(17)
+    M = reduce_ratio(4_000_000_000, 4_000_000_001)[1]
+    phases = [int(p) for p in rng.integers(0, M, size=B, dtype=np.int64)]
+    feeds = []
+    for nv in [512, 0, 300, 512, 512, 400]:
+        d = rng.standard_normal((chunk, B * C)).astype(np.float32)
+        d[nv:] = 0.0
+        feeds.append((nv, d))
+    a = _run_async(4_000_000_000, 4_000_000_001, 64, phases, feeds,
+                   kernel="xla", max_out=chunk + 128)
+    b = _run_async(4_000_000_000, 4_000_000_001, 64, phases, feeds,
+                   kernel="pallas", max_out=chunk + 128)
+    total = 0
+    for oa, ob in zip(a, b):
+        assert oa.shape == ob.shape
+        np.testing.assert_allclose(oa, ob, atol=8e-5)
+        total += oa.shape[1]
+    assert total > 1000
+
+
 def test_async_wrapper_slew_device_vs_cpu():
     """Per-stream slew through the batched wrapper: device and CPU agree
     after mid-run phase nudges (state edit + continued streaming)."""
