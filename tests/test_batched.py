@@ -477,3 +477,28 @@ def test_batched_fir_resample_many_matches_loop(kwargs):
             np.testing.assert_array_equal(p4[t], ps[t])
             p_t = int(p4[t].max())
         np.testing.assert_array_equal(o4[t][:, :p_t], outs[t][:, :p_t])
+
+
+def test_batched_fir_resample_many_sharded_over_mesh():
+    """FIR resample_many under an 8-device mesh matches the unmeshed
+    engine (chunks placed on the stream axis, state stream-sharded)."""
+    from resampler_tpu.engine.batched import BatchedResamplerFir
+
+    B, C, n, T = 8, 2, 256, 4
+    rng = np.random.default_rng(15)
+    chunks = rng.standard_normal((T, B, n, C)).astype(np.float32)
+    nv = np.asarray([256, 0, 130, 256], np.int32)
+
+    plain = BatchedResamplerFir(
+        B, C, 44100, 48000, synchronized=True, sync_variant="tm",
+        max_chunk=n,
+    )
+    sharded = BatchedResamplerFir(
+        B, C, 44100, 48000, synchronized=True, sync_variant="tm",
+        max_chunk=n, mesh=stream_mesh(),
+    )
+    oa, ca, pa, _ = plain.resample_many(chunks, nv)
+    ob, cb, pb, _ = sharded.resample_many(chunks, nv)
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-5)
