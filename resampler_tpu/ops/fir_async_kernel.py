@@ -10,10 +10,13 @@ into one op) crashes this toolchain's backend compiler
 (experiments/mosaic_gather_probe.py), so this kernel removes the takes
 STATICALLY instead:
 
-- The grid runs over blocks of ``Nb = 64`` OUTPUT LANES.  Lane ``n``
-  needs the basis responses at buffer row ``j_n = (n*L)//M`` — a trace-
-  time constant — so a per-block banded atlas evaluates the responses
-  DIRECTLY AT each lane's row.
+- The grid runs over GROUPS of ``GROUP = 2`` blocks of ``Nb = 64``
+  OUTPUT LANES (per-grid-step overhead dominates at these block sizes:
+  ungrouped vs grouped measured 0.301 vs 0.226 ms/call in the same run
+  — /tmp probes, ledgered in ROUND5_NOTES).  Lane ``n`` needs the basis
+  responses at buffer row ``j_n = (n*L)//M`` — a trace-time constant —
+  so a per-block streamed atlas evaluates the responses DIRECTLY AT
+  each lane's row.
 - The wrap bit needs the NEIGHBOR row ``j_n + 1`` too.  Two forms:
 
   * **shift** (auto for ``L <= M``, i.e. upsampling/near-unity — the
@@ -37,24 +40,34 @@ STATICALLY instead:
   residue row ``r_b`` (all exact ints below 2^24 in f32): ``t = s + r``,
   ``wrap = t >= M``, ``u = 2(t - M*wrap)/M - 1``, then the Chebyshev
   recurrence and the wrap combine on the VPU — the XLA step's ~9 MB of
-  u/wrap planes and their [B, N] -> [N, R] relayout never exist.
+  u/wrap planes and their [B, N] -> [N, R] relayout never exist.  WIDE
+  (u32 two-word) schedules exceed the f32 envelope and ship exact
+  precomputed u/wrap planes instead (``planes=True``).
 - The ``n_out`` emission mask applies in the kernel epilogue (one VPU
-  select), so the XLA side never re-reads the output to mask it.
-- Contraction precision: ``bf16x4`` (default on hardware) runs the four
-  double-bf16 products as four single-pass MXU dots (~-105 dB floor on
-  unit signals — the sync fleet's proven tier; bf16x3/HIGH measured
-  -78 dB on this contraction in round 4 and fails the 90 dB gates).
-  ``highest`` keeps the 6-pass f32 form for differentials.
+  select), so the XLA side never re-reads the output.
+- Contraction precision: ``bf16x4`` (default on hardware) with
+  DEGREE-BANDED corrections — the Chebyshev basis rows decay steeply
+  with degree (|A_d|/|A_0| ~ 7e-4 by d=5), so the three bf16 refinement
+  dots cover only the contiguous low-degree row prefix (cut chosen at
+  build where dropped terms sit >= 10x below the bf16x4 floor; ~-105 dB
+  on unit signals; bf16x3/HIGH measured -78 dB on this contraction in
+  round 4 and fails the 90 dB gates).  ``highest`` keeps the 6-pass f32
+  form for differentials.
 
 MEASURED VERDICT (v5e-1, bench config 44100->44101 B=256 stereo
 chunk=2048, varying feed, clean serialized runs): XLA step 0.568
 ms/step (1 846 Msps, 13.5x ref) -> dual-atlas bf16x4 0.351 (2 989,
 21.8x) -> shift form + in-kernel n_out mask 0.273 (3 847, 28.1x) ->
-degree-banded corrections 0.250 (4 200, 30.7x).  In a long bench run
-fleet timings drift ~20% downward (thermal/allocator; ROUND5_NOTES) —
-bench.py therefore measures the async rows right after the headline.
-Differentials: CPU interpret at 5 ratio shapes <= 2.4e-5 vs the XLA
-step; on-device R=128 case in tests_tpu/test_async_device.py.
+degree-banded corrections 0.250 (4 200, 30.7x).  Grouped grid steps
+(this revision) measured a 25% KERNEL-ALONE win (0.226 vs 0.301
+ms/call) but are STEP-neutral (0.251 vs 0.250 — the XLA side already
+overlaps the per-grid-step overhead); kept because it also unifies the
+shift/dual kernels into one body.  In a
+long bench run fleet timings drift ~20% downward (thermal/allocator;
+ROUND5_NOTES) — bench.py therefore measures the async rows right after
+the headline.  Differentials: CPU interpret at 6 ratio shapes <= 2.4e-5
+vs the XLA step (tests/test_async_kernel.py); on-device R=128 cases
+(narrow + wide) in tests_tpu/test_async_device.py.
 
 (reference capability being scaled: per-stream instance parallelism,
 reference: src/resampler_fir.rs:509-621; per-kernel differential rule:
@@ -75,9 +88,12 @@ from .matmul3 import split_hi_lo
 
 __all__ = ["build_async_combine", "async_combine_supported"]
 
-#: Output lanes per grid block (one MXU row tile at d1=8: 8*64 = 512
+#: Output lanes per block (one MXU row tile at d1=8: 8*64 = 512
 #: single-width / 1024 dual-width atlas rows per block).
 NB = 64
+#: Blocks processed per grid step (kernel-alone: 25% win at GROUP=2;
+#: step-level: neutral — the XLA side overlaps the grid overhead).
+GROUP = 2
 #: Atlas column bound: heavy downsampling blocks span ``Nb*L/M + taps``
 #: input rows; past this the atlas is too sparse for the dense dot to
 #: win and the XLA step keeps the path.
@@ -105,7 +121,8 @@ def async_combine_supported(
 
 def _build_atlas(j_np, A, Nb, Ko, s_dma, taps, n_copies, lanes):
     """``[Ko, n_copies*d1*lanes, s_dma]`` f32: block ``k``'s row
-    ``(c, d, n)`` carries ``A[d]`` at columns
+    ``(d, c, n)`` (degree-MAJOR, so the degree-banded correction rows
+    are one prefix slice) carries ``A[d]`` at columns
     ``j[k*Nb+n] - j[k*Nb] + c``."""
     d1 = A.shape[0]
     ab = np.zeros((Ko, n_copies * d1 * lanes, s_dma), np.float32)
@@ -114,25 +131,17 @@ def _build_atlas(j_np, A, Nb, Ko, s_dma, taps, n_copies, lanes):
         for n in range(lanes):
             off = int(j_np[k * Nb + n]) - j_base
             for c in range(n_copies):
-                # d-MAJOR row order (degree outermost) so the
-                # degree-banded correction rows are one prefix slice
                 rows = (np.arange(d1) * n_copies + c) * lanes + n
                 ab[k, rows, off + c : off + c + taps] = A
     return ab
 
 
-def _contract(seg_sk, ab_ref, ab2_ref, bf16x4, rows_c):
+def _contract(seg_sk, a_hi, a_lo, bf16x4, rows_c):
     if bf16x4:
         # DEGREE-BANDED corrections (the magsplit idea applied to the
-        # Farrow basis): the Chebyshev rows decay steeply with degree
-        # (|A_d|/|A_0| ~ 7e-4 by d=5), so the bf16 refinement products
-        # only matter for the low-degree rows — ``rows_c`` is chosen at
-        # build so the dropped terms sit >= 10x below the bf16x4 floor.
-        # The correction dots run over the CONTIGUOUS low-degree row
-        # prefix (both layouts keep d-major row order per wrap copy).
+        # Farrow basis): refinement products only matter for the
+        # low-degree rows — the contiguous ``rows_c`` prefix.
         s_hi, s_lo = split_hi_lo(seg_sk)
-        a_hi = ab_ref[0]
-        a_lo = ab2_ref[0]  # [rows_c_total, s_dma], low-degree rows only
         y = jax.lax.dot(a_hi, s_hi, preferred_element_type=jnp.float32)
         corr = jax.lax.dot(
             a_hi[0:rows_c, :], s_lo, preferred_element_type=jnp.float32
@@ -145,30 +154,16 @@ def _contract(seg_sk, ab_ref, ab2_ref, bf16x4, rows_c):
             [y[0:rows_c, :] + corr, y[rows_c:, :]], axis=0
         )
     return jax.lax.dot(
-        ab_ref[0],
+        a_hi,
         seg_sk,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
 
-def _landed_segment(sc_ref, seg_ref, k, s_dma, skew):
-    """Alignment-remainder switch + per-lane skew select inputs."""
-    seg8 = seg_ref[k % 2]  # [n_load, R]
-    rem = (sc_ref[0] + sc_ref[1 + k]) % 8
-    # 8-way static-slice switch absorbs the DMA alignment remainder
-    # (traced sublane offsets are unsupported; static slices are free)
-    return jax.lax.switch(
-        rem,
-        [lambda c=c: seg8[c : c + s_dma + skew, :] for c in range(8)],
-    )
-
-
-def _residues(s_ref, r_ref, m_f):
+def _residues(s_col, r_row, m_f):
     """In-kernel phase residues for NARROW schedules (all quantities are
     exact integers below 2^24 in f32)."""
-    s_col = s_ref[:, 0:1]          # [Nb, 1] static split values (f32)
-    r_row = r_ref[0:1, :]          # [1, R] per-stream residues (f32)
     t = s_col + r_row              # [Nb, R], exact ints < 2^24
     w = (t >= m_f).astype(jnp.float32)
     u = 2.0 * ((t - m_f * w) * (1.0 / m_f)) - 1.0
@@ -194,112 +189,106 @@ def _combine(zz, u, w, d1, Nb, lanes, z1_of):
     return acc
 
 
-def _kernel_dual(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, skewm_ref,
-                 buf_ref, o_ref, seg_ref, sem_ref, *, Ko, Nb, d1, s_dma,
-                 skew, n_load, m_f, bf16x4, rows_c, planes):
-    k = pl.program_id(0)
-
-    def get_dma(slot, kk):
-        start = sc_ref[0] + sc_ref[1 + kk]
-        aligned = (start // 8) * 8
-        return pltpu.make_async_copy(
-            buf_ref.at[pl.ds(aligned, n_load), :],
-            seg_ref.at[slot],
-            sem_ref.at[slot],
-        )
-
-    @pl.when(k == 0)
-    def _warm():
-        get_dma(0, 0).start()
-
-    @pl.when(k + 1 < Ko)
-    def _next():
-        get_dma((k + 1) % 2, k + 1).start()
-
-    get_dma(k % 2, k).wait()
-    seg = _landed_segment(sc_ref, seg_ref, k, s_dma, skew)
-    # per-LANE frame-skew select: skewm holds base_rel as f32; a
-    # (skew+1)-way shifted-view select mirrors the XLA region select
-    base_lane = skewm_ref[0:1, :]  # [1, R]
-    seg_sk = seg[0:s_dma, :]
-    for sk in range(1, skew + 1):
-        seg_sk = jnp.where(
-            base_lane == float(sk), seg[sk : sk + s_dma, :], seg_sk
-        )
-
-    zz = _contract(seg_sk, ab_ref, ab2_ref, bf16x4, rows_c)  # [2*d1*Nb, R]
-
-    def z1_of(zz, d):
-        return zz[(2 * d + 1) * Nb : (2 * d + 2) * Nb, :]
-
-    if planes:
-        # wide schedules: residues exceed f32/int32 exactness, so the
-        # XLA side ships precomputed u/wrap [Nb, R] plane blocks
-        u, w = s_ref[:, :], r_ref[:, :]
+def _kernel(sc_ref, *refs, G, Ko, Nb, d1, s_dma, skew, n_load, m_f,
+            bf16x4, rows_c, planes, use_shift, kmax, lanes, n_copies):
+    """One grid step = ``G`` consecutive lane-blocks (double-buffered
+    G-way sub-DMAs + G dots/combines).  Operand order (after the scalar
+    prefetch): ab, ab_lo, s-or-u, r-or-wrap, [k-plane if shift], skewm,
+    buffer; then out, seg scratch, sem scratch."""
+    if use_shift:
+        (ab_ref, ab2_ref, su_ref, rw_ref, km_ref, skewm_ref,
+         buf_ref, o_ref, seg_ref, sem_ref) = refs
     else:
-        u, w = _residues(s_ref, r_ref, m_f)
-    acc = _combine(zz, u, w, d1, Nb, 2 * Nb, z1_of)
-    # n_out emission mask (one VPU select; the XLA side never re-reads)
-    n_out = sc_ref[1 + Ko]
-    row = k * Nb + jax.lax.broadcasted_iota(jnp.int32, (Nb, 1), 0)
-    o_ref[:, :] = jnp.where(row < n_out, acc, 0.0)
+        (ab_ref, ab2_ref, su_ref, rw_ref, skewm_ref,
+         buf_ref, o_ref, seg_ref, sem_ref) = refs
+        km_ref = None
+    g = pl.program_id(0)
+    Kg = Ko // G
 
-
-def _kernel_shift(sc_ref, ab_ref, ab2_ref, s_ref, r_ref, km_ref,
-                  skewm_ref, buf_ref, o_ref, seg_ref, sem_ref, *, Ko, Nb,
-                  d1, s_dma, skew, n_load, m_f, bf16x4, kmax, lanes,
-                  rows_c, planes):
-    k = pl.program_id(0)
-
-    def get_dma(slot, kk):
-        start = sc_ref[0] + sc_ref[1 + kk]
+    def get_dma(slot, gg, jsub):
+        start = sc_ref[0] + sc_ref[1 + gg * G + jsub]
         aligned = (start // 8) * 8
         return pltpu.make_async_copy(
             buf_ref.at[pl.ds(aligned, n_load), :],
-            seg_ref.at[slot],
-            sem_ref.at[slot],
+            seg_ref.at[slot, jsub],
+            sem_ref.at[slot, jsub],
         )
 
-    @pl.when(k == 0)
+    @pl.when(g == 0)
     def _warm():
-        get_dma(0, 0).start()
+        for jsub in range(G):
+            get_dma(0, 0, jsub).start()
 
-    @pl.when(k + 1 < Ko)
+    @pl.when(g + 1 < Kg)
     def _next():
-        get_dma((k + 1) % 2, k + 1).start()
+        for jsub in range(G):
+            get_dma((g + 1) % 2, g + 1, jsub).start()
 
-    get_dma(k % 2, k).wait()
-    seg = _landed_segment(sc_ref, seg_ref, k, s_dma, skew)
-    base_lane = skewm_ref[0:1, :]
-    seg_sk = seg[0:s_dma, :]
-    for sk in range(1, skew + 1):
-        seg_sk = jnp.where(
-            base_lane == float(sk), seg[sk : sk + s_dma, :], seg_sk
+    base_lane = skewm_ref[0:1, :]  # [1, R] per-lane frame skew (f32)
+    n_out = sc_ref[1 + Ko]
+    for jsub in range(G):
+        get_dma(g % 2, g, jsub).wait()
+        seg8 = seg_ref[g % 2, jsub]  # [n_load, R]
+        rem = (sc_ref[0] + sc_ref[1 + g * G + jsub]) % 8
+        # 8-way static-slice switch absorbs the DMA alignment remainder
+        # (traced sublane offsets are unsupported; static slices free)
+        seg = jax.lax.switch(
+            rem,
+            [lambda c=c, s8=seg8: s8[c : c + s_dma + skew, :]
+             for c in range(8)],
         )
-
-    zz = _contract(seg_sk, ab_ref, ab2_ref, bf16x4, rows_c)  # [d1*lanes, R]
-
-    k_col = km_ref[:, 0:1]  # [Nb, 1] per-lane wrap-neighbor distance
-
-    def z1_of(zz, d):
-        # y[j_n + 1] = z0 at lane n + k_n: kmax-way static-shift select
-        z1 = zz[d * lanes + 1 : d * lanes + 1 + Nb, :]
-        for c in range(2, kmax + 1):
-            z1 = jnp.where(
-                k_col == float(c),
-                zz[d * lanes + c : d * lanes + c + Nb, :],
-                z1,
+        # per-LANE frame-skew select mirrors the XLA region select
+        seg_sk = seg[0:s_dma, :]
+        for sk in range(1, skew + 1):
+            seg_sk = jnp.where(
+                base_lane == float(sk), seg[sk : sk + s_dma, :], seg_sk
             )
-        return z1
 
-    if planes:
-        u, w = s_ref[:, :], r_ref[:, :]
-    else:
-        u, w = _residues(s_ref, r_ref, m_f)
-    acc = _combine(zz, u, w, d1, Nb, lanes, z1_of)
-    n_out = sc_ref[1 + Ko]
-    row = k * Nb + jax.lax.broadcasted_iota(jnp.int32, (Nb, 1), 0)
-    o_ref[:, :] = jnp.where(row < n_out, acc, 0.0)
+        zz = _contract(
+            seg_sk, ab_ref[jsub], ab2_ref[jsub], bf16x4, rows_c
+        )  # [n_copies*d1*lanes, R]
+
+        if use_shift:
+            k_col = km_ref[jsub * Nb : (jsub + 1) * Nb, 0:1]
+
+            def z1_of(zz, d):
+                # y[j_n + 1] = z0 at lane n + k_n: kmax-way static shift
+                z1 = zz[d * lanes + 1 : d * lanes + 1 + Nb, :]
+                for c in range(2, kmax + 1):
+                    z1 = jnp.where(
+                        k_col == float(c),
+                        zz[d * lanes + c : d * lanes + c + Nb, :],
+                        z1,
+                    )
+                return z1
+
+            span_l = lanes
+        else:
+
+            def z1_of(zz, d):
+                return zz[(2 * d + 1) * Nb : (2 * d + 2) * Nb, :]
+
+            span_l = 2 * Nb
+
+        if planes:
+            # wide schedules: residues exceed f32/int32 exactness, so
+            # the XLA side ships precomputed u/wrap plane blocks
+            u = su_ref[jsub * Nb : (jsub + 1) * Nb, :]
+            w = rw_ref[jsub * Nb : (jsub + 1) * Nb, :]
+        else:
+            u, w = _residues(
+                su_ref[jsub * Nb : (jsub + 1) * Nb, 0:1],
+                rw_ref[0:1, :],
+                m_f,
+            )
+        acc = _combine(zz, u, w, d1, Nb, span_l, z1_of)
+        # n_out emission mask (one VPU select)
+        row = (g * G + jsub) * Nb + jax.lax.broadcasted_iota(
+            jnp.int32, (Nb, 1), 0
+        )
+        o_ref[jsub * Nb : (jsub + 1) * Nb, :] = jnp.where(
+            row < n_out, acc, 0.0
+        )
 
 
 def build_async_combine(
@@ -309,19 +298,20 @@ def build_async_combine(
     planes: bool = False,
 ):
     """Build the fused combine: ``fn(buffer [ring, R], base0 scalar,
-    n_out scalar, r_lane [8, R] f32, base_lane [8, R] f32) ->
-    out [n_pad, R]`` (n_out-masked; caller slices ``[:out_cap]``).
+    n_out scalar, r_arg, base_lane [8, R] f32) -> out [n_pad, R]``
+    (n_out-masked; caller slices ``[:out_cap]``).  ``r_arg`` is the
+    per-stream residue row ``[8, R]`` f32 (narrow), or the
+    ``(u [n_pad, R], wrap [n_pad, R])`` plane tuple (``planes=True``,
+    wide schedules — their residues exceed f32/int32 exactness, so the
+    XLA step computes them exactly in u32; the extra ~2 planes of HBM
+    traffic is the price of the u32 envelope).
+
     ``j_np``/``s_np`` are the static per-lane split tables ``(n*L)//M``
     / ``(n*L)%M`` (length >= out_cap; the shift form reads up to
-    ``out_cap + kmax + Nb`` entries, recomputed here from ``L``/``M``
-    and used only where they match the caller's table — wide schedules
-    clamp ``j`` at the buffer edge), ``A [d1, taps]`` the Farrow basis.
-
-    ``planes=True`` (WIDE schedules): the per-lane residues exceed
-    f32/int32 exactness, so ``fn`` instead takes precomputed
-    ``u [n_pad, R]`` and ``wrap [n_pad, R]`` f32 planes in place of
-    ``r_lane`` (computed exactly in u32 by the XLA step) — the extra
-    ~2 planes of HBM traffic is the price of the u32 envelope.
+    ``out_cap + kmax + GROUP*Nb`` entries, recomputed here from
+    ``L``/``M`` and used only where they match the caller's table —
+    wide schedules clamp ``j`` at the buffer edge), ``A [d1, taps]``
+    the Farrow basis.
 
     The division ``frac = rem/M`` runs as ``rem * (1/M)`` on the VPU; vs
     the XLA step's f32 divide this differs by <= 1 ulp of frac — below
@@ -334,16 +324,14 @@ def build_async_combine(
         raise ValueError(f"unknown precision {precision!r}")
     d1 = A.shape[0]
     Nb = NB
-    n_pad = -(-out_cap // Nb) * Nb
+    G = GROUP
+    n_pad = -(-out_cap // (Nb * G)) * (Nb * G)
     Ko = n_pad // Nb
     skew = int(skew_periods)
 
     # extended true split tables (shift form reads past out_cap)
     i_ext = np.arange(n_pad + MAX_KSHIFT + 1, dtype=np.int64)
     j_ext = (i_ext * L) // M
-    # padded lanes [out_cap, n_pad) repeat the last real row (masked)
-    j_pad = j_ext.copy()
-    j_pad[out_cap:] = np.maximum(j_pad[out_cap:], j_ext[out_cap])
 
     # shift form: per-lane distance to the next row increment.  Only
     # valid when the recomputed unclamped table matches the caller's
@@ -377,7 +365,7 @@ def build_async_combine(
                 for k in range(Ko)
             )
         )
-        s_dma = span + 1 + taps  # +1: the shifted lanes' +... alignment pad
+        s_dma = span + 1 + taps
         atlas_j = j_ext
     else:
         lanes = Nb
@@ -428,35 +416,31 @@ def build_async_combine(
         ab2_c = jnp.zeros((Ko, 1, s_dma), jnp.float32)  # unused
         ab2_rows = 1
 
-    # static split plane, one value per output lane, lanes padded to the
-    # f32 tile width (read back as a [Nb, 1] column in the kernel)
-    s_pad = np.zeros(n_pad, np.int64)
-    s_pad[:out_cap] = np.asarray(s_np[:out_cap], np.int64)
-    s_plane = jnp.asarray(
-        np.broadcast_to(
-            s_pad.astype(np.float32)[:, None], (n_pad, 128)
-        ).copy()
-    )
+    if not planes:
+        # static split plane, one value per output lane, lanes padded to
+        # the f32 tile width (read back as [Nb, 1] columns per block)
+        s_pad = np.zeros(n_pad, np.int64)
+        s_pad[:out_cap] = np.asarray(s_np[:out_cap], np.int64)
+        s_plane = jnp.asarray(
+            np.broadcast_to(
+                s_pad.astype(np.float32)[:, None], (n_pad, 128)
+            ).copy()
+        )
     if use_shift:
         k_plane = jnp.asarray(
             np.broadcast_to(
                 k_n.astype(np.float32)[:, None], (n_pad, 128)
             ).copy()
         )
-        kern = functools.partial(
-            _kernel_shift, Ko=Ko, Nb=Nb, d1=d1, s_dma=s_dma, skew=skew,
-            n_load=n_load, m_f=float(M), bf16x4=bf16x4, kmax=kmax,
-            lanes=lanes, rows_c=rows_c, planes=planes,
-        )
-    else:
-        kern = functools.partial(
-            _kernel_dual, Ko=Ko, Nb=Nb, d1=d1, s_dma=s_dma, skew=skew,
-            n_load=n_load, m_f=float(M), bf16x4=bf16x4, rows_c=rows_c,
-            planes=planes,
-        )
 
-    def fn(buffer, base0, n_out, r_lane, base_lane):
-        # planes=True: r_lane is the (u_plane, wrap_plane) tuple
+    kern = functools.partial(
+        _kernel, G=G, Ko=Ko, Nb=Nb, d1=d1, s_dma=s_dma, skew=skew,
+        n_load=n_load, m_f=float(M), bf16x4=bf16x4, rows_c=rows_c,
+        planes=planes, use_shift=use_shift, kmax=kmax, lanes=lanes,
+        n_copies=n_copies,
+    )
+
+    def fn(buffer, base0, n_out, r_arg, base_lane):
         scalars = jnp.concatenate(
             [
                 jnp.reshape(jnp.asarray(base0, jnp.int32), (1,)),
@@ -464,52 +448,52 @@ def build_async_combine(
                 jnp.reshape(jnp.asarray(n_out, jnp.int32), (1,)),
             ]
         )
+        # operand order matches _kernel's unpack: ab, ab_lo, s-or-u,
+        # r-or-wrap, [k-plane if shift], skewm, buffer
+        in_specs = [
+            pl.BlockSpec((G, rows2, s_dma), lambda g, b: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, ab2_rows, s_dma), lambda g, b: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
         if planes:
-            u_plane, wrap_plane = r_lane
-            in_specs = [
-                pl.BlockSpec((1, rows2, s_dma), lambda k, b: (k, 0, 0),
+            u_plane, wrap_plane = r_arg
+            in_specs += [
+                pl.BlockSpec((G * Nb, R), lambda g, b: (g, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ab2_rows, s_dma), lambda k, b: (k, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Nb, R), lambda k, b: (k, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Nb, R), lambda k, b: (k, 0),
+                pl.BlockSpec((G * Nb, R), lambda g, b: (g, 0),
                              memory_space=pltpu.VMEM),
             ]
             args = [ab_c, ab2_c, u_plane, wrap_plane]
         else:
-            in_specs = [
-                pl.BlockSpec((1, rows2, s_dma), lambda k, b: (k, 0, 0),
+            in_specs += [
+                pl.BlockSpec((G * Nb, 128), lambda g, b: (g, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ab2_rows, s_dma), lambda k, b: (k, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((Nb, 128), lambda k, b: (k, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, R), lambda k, b: (0, 0),
+                pl.BlockSpec((8, R), lambda g, b: (0, 0),
                              memory_space=pltpu.VMEM),
             ]
-            args = [ab_c, ab2_c, s_plane, r_lane]
+            args = [ab_c, ab2_c, s_plane, r_arg]
         if use_shift:
             in_specs.append(
-                pl.BlockSpec((Nb, 128), lambda k, b: (k, 0),
+                pl.BlockSpec((G * Nb, 128), lambda g, b: (g, 0),
                              memory_space=pltpu.VMEM)
             )
             args.append(k_plane)
         in_specs += [
-            pl.BlockSpec((8, R), lambda k, b: (0, 0),
+            pl.BlockSpec((8, R), lambda g, b: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         args += [base_lane, buffer]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(Ko,),
+            grid=(Ko // G,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((Nb, R), lambda k, b: (k, 0),
+            out_specs=pl.BlockSpec((G * Nb, R), lambda g, b: (g, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, n_load, R), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, G, n_load, R), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, G)),
             ],
         )
         return pl.pallas_call(
