@@ -43,14 +43,17 @@ def _rotating_indices():
 
 def bench_fir(
     dispatches=5, warmup=2, n_streams=1024, chunk_frames=4096,
-    synchronized=True, in_hz=44100, out_hz=48000,
+    synchronized=True, in_hz=44100, out_hz=48000, path="auto",
 ):
     """Batched FIR throughput.  ``synchronized=True`` benches the
     phase-locked fleet — the TIME-MAJOR ring step (one in-place KV-cache
     append + one fat fleet-wide matmul per step, the fastest measured
     serving path; for coprime pairs beyond the periodic envelope it runs
     the Farrow positioning-matmul contraction); ``False`` benches the
-    general vmapped fleet with independent per-stream state."""
+    general vmapped fleet with independent per-stream state.  ``path``
+    selects the convolve basis on the synchronized fleet (``"lerp"``
+    benches the reference's exact table-lerp interpolation semantics
+    riding the same shared positioning matmul)."""
     import jax
     import jax.numpy as jnp
 
@@ -71,7 +74,8 @@ def bench_fir(
 
     if synchronized:
         step = fir_engine.make_fir_fleet_step_sync_tm(
-            cfg, coeffs, n_streams, max_chunk=chunk_frames, horizon=16
+            cfg, coeffs, n_streams, max_chunk=chunk_frames, horizon=16,
+            path=path,
         )
         state = fir_engine.fir_fleet_init_sync_tm(
             cfg, n_streams, max_chunk=chunk_frames, horizon=16
@@ -897,15 +901,20 @@ def main():
     # the same synchronized tm Farrow fleet under the two-word uint32
     # schedule — reference-parity capability at fleet throughput.
     fir_wide_msps = bench_fir(in_hz=600011, out_hz=600013)
+    # Exact table-lerp INTERPOLATION semantics (incl. the phase-1023
+    # clamp, reference src/resampler_fir.rs:556-565) as a fleet serving
+    # tier: the SVD table basis rides the SAME shared positioning matmul
+    # as farrow (fir_fleets._farrow_tm_plan(basis="lerp")), so the
+    # [1024, r] U-row takes are paid ONCE per step for the whole fleet
+    # instead of per stream — measured ~77x reference vs the per-stream
+    # form's 0.61x (the takes were the wall, not the factorization).
+    fir_lerp_sync_msps = bench_fir(in_hz=44100, out_hz=44101, path="lerp")
     fir_arb_msps = bench_fir_arbitrary("farrow")
-    # exact table-lerp SEMANTICS through the farrow structure
-    # (SVD-factorized table, engine/fir.py _convolve_lerp) — measured
-    # ~0.6x reference: the per-output U-row takes are TPU gathers the
-    # table-exact semantics cannot avoid (the SVD rank equals farrow's
-    # d1, so the gap is the takes, not the factorization).  A semantics
-    # tier; the farrow path is the arbitrary-ratio SPEED tier.  The
-    # gather path below is the slow by-construction ORACLE for the same
-    # semantics and is excluded from vs-reference claims
+    # per-stream lerp (vmapped, independent state): the takes are paid
+    # per stream — kept as the general-fleet semantics tier; use the
+    # synchronized lerp fleet above for speed.  The gather path below is
+    # the slow by-construction ORACLE for the same semantics and is
+    # excluded from vs-reference claims
     fir_lerp_msps = bench_fir_arbitrary("lerp")
     fir_gather_msps = bench_fir_arbitrary("gather", n_streams=64)
     latency_tier = bench_latency()
@@ -950,6 +959,10 @@ def main():
             "fir_arbitrary_vs_reference": round(
                 fir_arb_msps / FIR_BASELINE_MSPS, 2
             ),
+            "fir_lerp_sync_msamples_per_s": round(fir_lerp_sync_msps, 1),
+            "fir_lerp_sync_vs_reference": round(
+                fir_lerp_sync_msps / FIR_BASELINE_MSPS, 2
+            ),
             "fir_lerp_msamples_per_s": round(fir_lerp_msps, 1),
             "fir_lerp_vs_reference": round(
                 fir_lerp_msps / FIR_BASELINE_MSPS, 2
@@ -957,9 +970,10 @@ def main():
             "fir_gather_msamples_per_s": round(fir_gather_msps, 1),
             "fir_gather_note": (
                 "semantics oracle (table-lerp exact by construction), "
-                "not a serving path; the lerp path above serves the "
-                "same semantics ~2x faster but still ~0.6x reference — "
-                "table-exact interpolation needs per-output gathers"
+                "not a serving path; fir_lerp_sync serves the same "
+                "table-lerp semantics at fleet speed (U-row takes paid "
+                "once per step, not per stream); fir_lerp is the "
+                "per-stream form where the takes dominate"
             ),
             "fir_heavy_downsample_msamples_per_s": round(fir_heavy_msps, 1),
             "fir_heavy_downsample_input_msamples_per_s": round(

@@ -76,6 +76,15 @@ class BatchedResamplerFir:
         self._async = synchronized and sync_variant == "async_tm"
         self._skew_periods = skew_periods
         self._place = shard_lanes if self._tm else shard_batch
+        if path != "auto" and synchronized and sync_variant != "tm":
+            # only the tm fleet step takes a convolve-path selector; a
+            # silent drop would serve farrow/atlas semantics under a
+            # lerp label with no error
+            raise ValueError(
+                "path= requires the vmapped fleet (synchronized=False) or "
+                "the synchronized tm fleet (sync_variant='tm'); the "
+                f"{sync_variant!r} variant picks its own convolve structure"
+            )
         if initial_positions is not None and not self._async:
             # only the async tm fleet honors per-stream start phases; a
             # silent drop would give every stream phase 0 with no error
@@ -145,6 +154,10 @@ class BatchedResamplerFir:
             tm_step = fir_engine.make_fir_fleet_step_sync_tm(
                 self._config, coeffs, n_streams,
                 max_chunk=max_chunk, horizon=horizon,
+                # path="lerp" serves the reference's exact table-lerp
+                # interpolation semantics at fleet speed (the SVD table
+                # basis rides the shared positioning matmul).
+                path=path,
                 # GSPMD cannot auto-partition a pallas_call, so under a
                 # mesh the manual-DMA contraction runs per-shard via
                 # shard_map (lane-sharded ring, replicated scalars);

@@ -32,6 +32,7 @@ from .fir import (
     FirState,
     _compute_n_out,
     _periodic_group_factor,
+    _table_svd_basis,
     _use_im2col,
     farrow_block_size,
     farrow_matrix,
@@ -238,10 +239,24 @@ def _sync_atlas(config: FirConfig, coeffs) -> np.ndarray:
     return a2
 
 
-def _farrow_tm_plan(config: FirConfig, coeffs, widen: int = 0):
+def _farrow_tm_plan(
+    config: FirConfig, coeffs, widen: int = 0, basis: str = "cheb"
+):
     """Static precompute for the synchronized-fleet Farrow contraction
     (see ``make_fir_fleet_step_sync_tm``): per-lane schedule splits,
     block geometry, and the positioning atlas ``Ashift2``.
+
+    ``basis`` selects the per-output combine basis:
+
+    - ``"cheb"`` (default): ``farrow_matrix`` Chebyshev rows — the
+      continuous-kernel Farrow path.
+    - ``"lerp"``: the SVD factorization ``T ~= U @ A`` of the 1024-phase
+      table (``_table_svd_basis``, reconstruction < 1e-7), whose combine
+      coefficients are the exact table-LERP of ``U`` rows — the
+      reference's interpolation semantics at fleet speed.  The rest of
+      the structure (positioning matmul, blocked contraction, DMA
+      kernel) is basis-agnostic and unchanged (reference semantics:
+      src/resampler_fir.rs:556-565).
 
     The formulation: with the fleet-shared residue ``r`` known only at
     runtime, output ``i = k*q + l`` needs the blended tap row evaluated
@@ -260,8 +275,13 @@ def _farrow_tm_plan(config: FirConfig, coeffs, widen: int = 0):
     ``~taps`` MACs per output sample."""
     L_, M_, taps = config.ratio_num, config.ratio_den, config.taps
     N = config.out_capacity
-    degree = FARROW_DEGREE
-    d1 = degree + 1
+    if basis == "lerp":
+        U, A = _table_svd_basis(coeffs)  # [P, r], [r, taps]
+        d1 = A.shape[0]
+    else:
+        U = None
+        A, _ = farrow_matrix(coeffs, FARROW_DEGREE)  # [d1, taps]
+        d1 = FARROW_DEGREE + 1
     q = farrow_block_size(L_, M_)
     K = -(-N // q)
     n_pad = K * q
@@ -287,7 +307,6 @@ def _farrow_tm_plan(config: FirConfig, coeffs, widen: int = 0):
     if widen:
         w_blk = -(-w_blk // 8) * 8
 
-    A, _ = farrow_matrix(coeffs, degree)  # [d1, taps] f32
     ashift2 = np.zeros((d1 * n_jl, w_blk), np.float32)
     for d in range(d1):
         for j in range(n_jl):
@@ -297,7 +316,7 @@ def _farrow_tm_plan(config: FirConfig, coeffs, widen: int = 0):
         q=q, K=K, n_pad=n_pad, d1=d1, n_jl=n_jl, w_blk=w_blk,
         block_base=block_base.astype(np.int64),
         j_loc=j_loc, s_pad=s_pad.reshape(K, q),
-        ashift2=ashift2, region_rows=region_rows,
+        ashift2=ashift2, region_rows=region_rows, U=U,
     )
 
 
@@ -340,6 +359,12 @@ def make_fir_fleet_step_sync_tm(
       arbitrary coprime ratios the Farrow positioning matmul builds the
       per-output banded weights once for the whole fleet, then a blocked
       batched matmul does ``~taps`` MACs per output (``_farrow_tm_plan``).
+      ``path="lerp"`` runs the SAME structure with the SVD table basis —
+      the reference's exact table-lerp interpolation semantics (incl. the
+      phase-1023 clamp) at fleet speed: only the combine-basis rows
+      change (lerped ``U`` rows instead of a Chebyshev recurrence), so
+      the contraction cost is identical when the SVD rank equals the
+      Farrow degree+1 (it does at taps<=128, tol 1e-7).
 
     ``step(state, chunks_tm [n<=max_chunk, B*C], n_valid) ->
     (state', out [B, out_cap, C], consumed, produced)``.  Feed layout is
@@ -363,10 +388,10 @@ def make_fir_fleet_step_sync_tm(
     serving-pipeline case.
     """
     path = resolve_convolve_path(config, path)
-    if path not in ("periodic", "farrow"):
+    if path not in ("periodic", "farrow", "lerp"):
         raise ValueError(
-            f"synchronized tm fleet step supports the periodic and farrow "
-            f"convolve paths, not {path!r}"
+            f"synchronized tm fleet step supports the periodic, farrow "
+            f"and lerp convolve paths, not {path!r}"
         )
     wide = config.wide
     if wide and path != "farrow":
@@ -476,7 +501,9 @@ def make_fir_fleet_step_sync_tm(
         fp = _farrow_tm_plan(
             config, coeffs,
             widen=8 if contraction in ("dma", "dma_interpret") else 0,
+            basis="lerp" if path == "lerp" else "cheb",
         )
+        U_c = jnp.asarray(fp["U"]) if path == "lerp" else None  # [P, r]
         region_rows = fp["region_rows"]
         q_f, K_f, n_pad_f = fp["q"], fp["K"], fp["n_pad"]
         G = 1
@@ -622,12 +649,31 @@ def make_fir_fleet_step_sync_tm(
             base = pos // Mi
             r = pos - base * Mi
             wrap = (r + s_c >= Mi).astype(jnp.int32)      # [K, q]
-            frac = (r + s_c - Mi * wrap).astype(jnp.float32) / jnp.float32(M)
-        u = 2.0 * frac - 1.0
-        ts = [jnp.ones_like(u), u]
-        for _ in range(d1 - 2):
-            ts.append(2.0 * u * ts[-1] - ts[-2])
-        t_cheb = jnp.stack(ts, axis=-1)                   # [K, q, d1]
+            rem_i = r + s_c - Mi * wrap                   # [K, q] in [0, M)
+            frac = rem_i.astype(jnp.float32) / jnp.float32(M)
+        if path == "lerp":
+            # exact table-lerp combine basis: v = lerp(U[p1], U[p2], f),
+            # incl. the reference's p2 = min(p1+1, 1023) clamp quirk
+            # (src/resampler_fir.rs:556-565).  rem * P stays inside int32
+            # (wide pairs are rejected above).  The U takes are [K*q]
+            # rows of a tiny [1024, r] table, paid ONCE for the whole
+            # fleet (the per-stream lerp path pays them per stream —
+            # that is its measured 0.61x wall).
+            pf = rem_i * jnp.int32(config.phases)
+            p1 = pf // jnp.int32(M)
+            p2 = jnp.minimum(p1 + 1, jnp.int32(config.phases - 1))
+            fph = (pf - p1 * jnp.int32(M)).astype(jnp.float32) / jnp.float32(
+                M
+            )
+            u1 = jnp.take(U_c, p1, axis=0)                # [K, q, d1]
+            u2 = jnp.take(U_c, p2, axis=0)
+            t_cheb = u1 + fph[:, :, None] * (u2 - u1)     # [K, q, d1]
+        else:
+            u = 2.0 * frac - 1.0
+            ts = [jnp.ones_like(u), u]
+            for _ in range(d1 - 2):
+                ts.append(2.0 * u * ts[-1] - ts[-2])
+            t_cheb = jnp.stack(ts, axis=-1)               # [K, q, d1]
         jl = j_loc_c + wrap                               # [K, q] in [0, n_jl)
         if dma:
             # fold each block's DMA alignment remainder into the local

@@ -98,6 +98,8 @@ class ResamplerFir:
             raise ValueError(
                 f"schedule must be 'exact' or 'reference', not {schedule!r}"
             )
+        self._path = path
+        self._schedule = schedule
         self._reference = None
         if schedule == "reference":
             from .reference_schedule import ReferenceScheduleFir
@@ -124,10 +126,16 @@ class ResamplerFir:
         output_rate_hz: int,
         latency: Latency = Latency.Sample64,
         attenuation: Attenuation = Attenuation.Db120,
+        *,
+        path: str = "auto",
+        schedule: str = "exact",
     ) -> "ResamplerFir":
         """Construct from arbitrary integer sample rates
         (reference: src/resampler_fir.rs:295-404)."""
-        return cls(channels, input_rate_hz, output_rate_hz, latency, attenuation)
+        return cls(
+            channels, input_rate_hz, output_rate_hz, latency, attenuation,
+            path=path, schedule=schedule,
+        )
 
     # -- introspection ----------------------------------------------------
 

@@ -502,3 +502,60 @@ def test_batched_fir_resample_many_sharded_over_mesh():
     np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
     np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
     np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-5)
+
+
+def test_batched_fir_lerp_sync_tm_via_wrapper():
+    """``BatchedResamplerFir(sync_variant="tm", path="lerp")`` plumbs the
+    lerp basis into the tm fleet step: matches the per-stream lerp
+    engine (exact table-lerp semantics at fleet speed) and differs from
+    the farrow fleet beyond ~1e-4 (i.e. the kwarg is not dropped)."""
+    B, C = 3, 2
+    rng = np.random.default_rng(21)
+    chunks = rng.standard_normal((B, 512, C)).astype(np.float32)
+
+    lerp_fleet = BatchedResamplerFir(
+        B, C, 44100, 44101, Latency.Sample32, Attenuation.Db90,
+        synchronized=True, sync_variant="tm", max_chunk=512, path="lerp",
+    )
+    out_l, _, produced, _ = lerp_fleet.resample(chunks)
+    farrow_fleet = BatchedResamplerFir(
+        B, C, 44100, 44101, Latency.Sample32, Attenuation.Db90,
+        synchronized=True, sync_variant="tm", max_chunk=512,
+    )
+    out_f, _, produced_f, _ = farrow_fleet.resample(chunks)
+    p = int(np.asarray(produced)[0])
+    assert p and p == int(np.asarray(produced_f)[0])
+
+    for b in range(B):
+        single = ResamplerFir(
+            C, 44100, 44101, Latency.Sample32, Attenuation.Db90, path="lerp"
+        )
+        buf = np.zeros(single.buffer_size_output(), np.float32)
+        c, pp = single.resample(chunks[b].reshape(-1), buf)
+        assert pp == p * C
+        np.testing.assert_allclose(
+            buf[:pp], np.asarray(out_l)[b, :p].reshape(-1), atol=1e-5
+        )
+    # farrow evaluates the continuous kernel, lerp the 1024-phase table:
+    # the two fleets must NOT be identical (kwarg actually honored)
+    assert np.abs(np.asarray(out_l)[:, :p] - np.asarray(out_f)[:, :p]).max() > 1e-6
+
+
+def test_batched_fir_path_rejected_on_unsupported_variants():
+    """path= on a fleet variant that picks its own convolve structure
+    must raise instead of silently serving different semantics."""
+    for variant in ("async_tm", "slide"):
+        with pytest.raises(ValueError, match="path="):
+            BatchedResamplerFir(
+                4, 2, 44100, 44101, synchronized=True, sync_variant=variant,
+                max_chunk=512, path="lerp",
+            )
+
+
+def test_new_from_hz_forwards_path_and_schedule():
+    """ResamplerFir.new_from_hz must forward path=/schedule= (previously
+    silently dropped)."""
+    r = ResamplerFir.new_from_hz(1, 44100, 44101, path="lerp")
+    assert r._path == "lerp"
+    r = ResamplerFir.new_from_hz(1, 44100, 48000, schedule="reference")
+    assert r._schedule == "reference"

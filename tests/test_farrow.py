@@ -291,6 +291,54 @@ def test_farrow_sync_tm_fleet_matches_per_stream(in_hz, out_hz, taps):
 
 
 @pytest.mark.parametrize(
+    "in_hz,out_hz,taps",
+    [(44100, 44101, 64), (48000, 44101, 128), (367500, 1601, 32)],
+)
+def test_lerp_sync_tm_fleet_matches_per_stream(in_hz, out_hz, taps):
+    """``path="lerp"`` on the synchronized tm fleet (the SVD table basis
+    riding the shared positioning matmul) matches the per-stream lerp
+    engine — i.e. the fleet serves the reference's EXACT table-lerp
+    interpolation semantics (incl. the p2 = min(p1+1, 1023) clamp,
+    src/resampler_fir.rs:556-565), not the Farrow approximation."""
+    L, M = reduce_ratio(in_hz, out_hz)
+    B, C = 3, 2
+    cfg = fe.FirConfig(channels=C, taps=taps, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(taps, Attenuation.Db90, in_hz / out_hz)
+    coeffs = fe.fir_coefficients(taps, Attenuation.Db90, cutoff)
+    tm_step = jax.jit(
+        fe.make_fir_fleet_step_sync_tm(cfg, coeffs, B, max_chunk=1024,
+                                       horizon=3, path="lerp")
+    )
+    ps_step = jax.jit(fe.make_fir_step(cfg, coeffs, path="lerp"))
+    tm_state = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=1024, horizon=3)
+    ps_states = [fe.fir_init(cfg) for _ in range(B)]
+    rng = np.random.default_rng(11)
+    produced_steps = 0
+    for _ in range(10):
+        chunk = rng.standard_normal((B, 1024, C)).astype(np.float32)
+        tm_feed = jnp.asarray(
+            np.transpose(chunk, (1, 0, 2)).reshape(1024, B * C)
+        )
+        tm_state, out_tm, c_tm, p_tm = tm_step(
+            tm_state, tm_feed, jnp.int32(1024)
+        )
+        for b in range(B):
+            ps_states[b], out_ps, c_ps, p_ps = ps_step(
+                ps_states[b], jnp.asarray(chunk[b]), jnp.int32(1024),
+                jnp.int32(cfg.out_capacity),
+            )
+            assert int(c_tm) == int(c_ps) and int(p_tm) == int(p_ps)
+            p = int(p_tm)
+            if p:
+                produced_steps += 1
+                np.testing.assert_allclose(
+                    np.asarray(out_tm)[b, :p], np.asarray(out_ps)[:p],
+                    atol=1e-5,
+                )
+    assert produced_steps >= 10
+
+
+@pytest.mark.parametrize(
     "in_hz,out_hz",
     [(600011, 600013), (4000000000, 4000000001), (1000003, 999983)],
 )
