@@ -499,3 +499,48 @@ def test_wide_schedule_on_device():
             assert np.median(d) < 5e-5
             assert d.max() < 5e-2  # clamp bins
     assert produced > 1500
+
+
+def test_lerp_sync_tm_fleet_device_vs_cpu():
+    """The lerp-basis tm fleet (exact table-lerp semantics riding the
+    shared positioning matmul, fir_fleets._farrow_tm_plan(basis="lerp"))
+    computes the same answers on the accelerator as on CPU — mirrors
+    tests/test_farrow.py::test_lerp_sync_tm_fleet_matches_per_stream's
+    CPU differential, here gating the device lowering (the U-row takes
+    and the lerped combine run on the VPU/MXU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from resampler_tpu.engine import fir as fe
+    from resampler_tpu.types import reduce_ratio
+
+    B, C, n_in = 64, 2, 512
+    L, M = reduce_ratio(44100, 44101)
+    cfg = fe.FirConfig(channels=C, taps=64, ratio_num=L, ratio_den=M)
+    cutoff = fe.fir_cutoff(64, Attenuation.Db90, 44100 / 44101)
+    coeffs = fe.fir_coefficients(64, Attenuation.Db90, cutoff)
+    step = fe.make_fir_fleet_step_sync_tm(
+        cfg, coeffs, B, max_chunk=n_in, horizon=3, path="lerp",
+        contraction="xla",
+    )
+    s_dev = jax.jit(step)
+    cpu = jax.devices("cpu")[0]
+    st_dev = fe.fir_fleet_init_sync_tm(cfg, B, max_chunk=n_in, horizon=3)
+    st_cpu = jax.device_put(st_dev, cpu)
+    rng = np.random.default_rng(13)
+    checked = 0
+    for _ in range(6):
+        ch = rng.standard_normal((n_in, B * C)).astype(np.float32)
+        nv = int(rng.integers(1, n_in + 1))
+        st_dev, od, cd, pd = s_dev(st_dev, jnp.asarray(ch), jnp.int32(nv))
+        with jax.default_device(cpu):
+            st_cpu, oc, cc, pc = jax.jit(step)(
+                st_cpu, jax.device_put(ch, cpu), jnp.int32(nv)
+            )
+        assert int(cd) == int(cc) and int(pd) == int(pc)
+        p = int(pd)
+        if p:
+            checked += 1
+            d = np.abs(np.asarray(od)[:, :p] - np.asarray(oc)[:, :p]).max()
+            assert d < 5e-5, f"device-vs-cpu {d:.2e}"
+    assert checked >= 4
