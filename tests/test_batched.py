@@ -559,3 +559,30 @@ def test_new_from_hz_forwards_path_and_schedule():
     assert r._path == "lerp"
     r = ResamplerFir.new_from_hz(1, 44100, 48000, schedule="reference")
     assert r._schedule == "reference"
+
+
+def test_batched_fir_lerp_sync_tm_sharded_over_mesh():
+    """The lerp-basis tm fleet under an 8-device mesh matches the
+    unmeshed fleet (the lerped U-row takes compute from replicated
+    schedule scalars + the replicated [1024, r] table, so GSPMD
+    partitions the step exactly like the farrow basis)."""
+    B, C = 8, 2
+    rng = np.random.default_rng(23)
+    plain = BatchedResamplerFir(
+        B, C, 44100, 44101, Latency.Sample32, Attenuation.Db90,
+        synchronized=True, sync_variant="tm", max_chunk=256, path="lerp",
+    )
+    sharded = BatchedResamplerFir(
+        B, C, 44100, 44101, Latency.Sample32, Attenuation.Db90,
+        synchronized=True, sync_variant="tm", max_chunk=256, path="lerp",
+        mesh=stream_mesh(),
+    )
+    for _ in range(3):
+        chunks = rng.standard_normal((B, 256, C)).astype(np.float32)
+        out_a, cons_a, prod_a, _ = plain.resample(chunks)
+        out_b, cons_b, prod_b, _ = sharded.resample(chunks)
+        np.testing.assert_array_equal(np.asarray(cons_a), np.asarray(cons_b))
+        np.testing.assert_array_equal(np.asarray(prod_a), np.asarray(prod_b))
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), atol=1e-5
+        )
